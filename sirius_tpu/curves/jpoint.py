@@ -1,0 +1,194 @@
+"""JAX elliptic-curve point kernels (Jacobian coordinates, a = 0 curves).
+
+TPU-native replacement for the reference's `halo2curves` group arithmetic
+(SURVEY.md §2.8 item 1/2).  A point batch is a `Points` pytree of three
+`uint32[..., 16]` Montgomery-limb arrays; infinity is encoded as z == 0.
+
+Branchless: exceptional cases (identity operands, doubling, inverse pair) are
+resolved with vectorized selects so the same program runs for every lane —
+the XLA-friendly analogue of halo2curves' conditional logic.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fields import gold
+from ..fields.constants import NUM_LIMBS, CurveSpec
+from ..fields.jfield import Field, field_for
+
+
+class Points(NamedTuple):
+    """Batch of Jacobian points over some base field; z == 0 <=> identity."""
+
+    x: jnp.ndarray
+    y: jnp.ndarray
+    z: jnp.ndarray
+
+    @property
+    def shape(self):
+        return self.x.shape[:-1]
+
+
+class Curve:
+    """Device curve context: base-field ops + curve constants."""
+
+    def __init__(self, spec: CurveSpec):
+        self.spec = spec
+        self.fb: Field = field_for(spec.base)
+        self.fs: Field = field_for(spec.scalar)
+        assert spec.a == 0, "only a=0 short Weierstrass curves supported"
+        self.b_mont = np.asarray(self.fb.encode([spec.b]))[0]
+        # jit hot ops
+        self.add = jax.jit(self.add)
+        self.dbl = jax.jit(self.dbl)
+
+    def __hash__(self):
+        return hash(self.spec.name)
+
+    def __eq__(self, other):
+        return isinstance(other, Curve) and self.spec.name == other.spec.name
+
+    def __repr__(self):
+        return f"Curve({self.spec.name})"
+
+    # -- constructors ----------------------------------------------------------
+    def identity(self, shape=()) -> Points:
+        f = self.fb
+        return Points(f.zeros(shape), f.ones(shape), f.zeros(shape))
+
+    def encode(self, pts: Sequence[gold.AffinePoint]) -> Points:
+        """Host gold affine points -> device Jacobian batch."""
+        f = self.fb
+        xs = [0 if p.is_identity else p.x for p in pts]
+        ys = [1 if p.is_identity else p.y for p in pts]
+        zs = [0 if p.is_identity else 1 for p in pts]
+        return Points(f.encode(xs), f.encode(ys), f.encode(zs))
+
+    def decode(self, P: Points) -> list[gold.AffinePoint]:
+        """Device batch -> host gold affine points."""
+        f = self.fb
+        xs = f.decode(P.x.reshape(-1, NUM_LIMBS))
+        ys = f.decode(P.y.reshape(-1, NUM_LIMBS))
+        zs = f.decode(P.z.reshape(-1, NUM_LIMBS))
+        out = []
+        for x, y, z in zip(xs, ys, zs):
+            if z == 0:
+                out.append(gold.identity(self.spec))
+            else:
+                zi = gold.inv_mod(z, f.p)
+                out.append(
+                    gold.AffinePoint(self.spec, x * zi * zi % f.p, y * zi * zi * zi % f.p)
+                )
+        return out
+
+    # -- predicates ------------------------------------------------------------
+    def is_identity(self, P: Points):
+        return self.fb.is_zero(P.z)
+
+    def select(self, cond, P: Points, Q: Points) -> Points:
+        f = self.fb
+        return Points(f.select(cond, P.x, Q.x), f.select(cond, P.y, Q.y), f.select(cond, P.z, Q.z))
+
+    def neg(self, P: Points) -> Points:
+        return Points(P.x, self.fb.neg(P.y), P.z)
+
+    # -- group law -------------------------------------------------------------
+    def dbl(self, P: Points) -> Points:
+        """Jacobian doubling, a=0 (dbl-2009-l).  Identity-safe (z3 = 2*y*z)."""
+        f = self.fb
+        A = f.square(P.x)
+        B = f.square(P.y)
+        C = f.square(B)
+        t = f.square(f.add(P.x, B))
+        D = f.double(f.sub(f.sub(t, A), C))
+        E = f.add(f.double(A), A)
+        F = f.square(E)
+        X3 = f.sub(F, f.double(D))
+        Y3 = f.sub(f.mul(E, f.sub(D, X3)), f.double(f.double(f.double(C))))
+        Z3 = f.double(f.mul(P.y, P.z))
+        return Points(X3, Y3, Z3)
+
+    def add(self, P: Points, Q: Points) -> Points:
+        """Complete Jacobian addition via select over the exceptional cases."""
+        f = self.fb
+        z1z1 = f.square(P.z)
+        z2z2 = f.square(Q.z)
+        u1 = f.mul(P.x, z2z2)
+        u2 = f.mul(Q.x, z1z1)
+        s1 = f.mul(f.mul(P.y, Q.z), z2z2)
+        s2 = f.mul(f.mul(Q.y, P.z), z1z1)
+        h = f.sub(u2, u1)
+        r = f.sub(s2, s1)
+        hh = f.square(h)
+        hhh = f.mul(h, hh)
+        v = f.mul(u1, hh)
+        r2 = f.square(r)
+        x3 = f.sub(f.sub(r2, hhh), f.double(v))
+        y3 = f.sub(f.mul(r, f.sub(v, x3)), f.mul(s1, hhh))
+        z3 = f.mul(f.mul(P.z, Q.z), h)
+        general = Points(x3, y3, z3)
+
+        p_inf = self.is_identity(P)
+        q_inf = self.is_identity(Q)
+        h_zero = f.is_zero(h)
+        r_zero = f.is_zero(r)
+        # same x: doubling if same y, else infinity
+        dbl_case = h_zero & r_zero & ~p_inf & ~q_inf
+        inf_case = h_zero & ~r_zero & ~p_inf & ~q_inf
+
+        out = self.select(dbl_case, self.dbl(P), general)
+        out = self.select(inf_case, self.identity(out.shape), out)
+        out = self.select(q_inf, P, out)
+        out = self.select(p_inf, Q, out)
+        return out
+
+    # -- helpers ----------------------------------------------------------------
+    def scalar_mul(self, P: Points, k_bits: jnp.ndarray) -> Points:
+        """Double-and-add; k_bits uint32 (nbits,) little-endian. For tests."""
+        nbits = k_bits.shape[0]
+
+        def body(i, carry):
+            acc, base = carry
+            acc2 = self.add(acc, base)
+            acc = self.select(k_bits[i] > 0, acc2, acc)
+            base = self.dbl(base)
+            return acc, base
+
+        acc0 = self.identity(P.shape)
+        acc, _ = jax.lax.fori_loop(0, nbits, body, (acc0, P))
+        return acc
+
+    def sum_reduce(self, P: Points, axis: int = 0) -> Points:
+        """Log-depth point summation along `axis`."""
+        P = Points(*(jnp.moveaxis(c, axis, 0) for c in P))
+        n = P.shape[0]
+        while n > 1:
+            half = n // 2
+            lo = Points(P.x[:half], P.y[:half], P.z[:half])
+            hi = Points(P.x[half : 2 * half], P.y[half : 2 * half], P.z[half : 2 * half])
+            s = self.add(lo, hi)
+            if n % 2:
+                s = Points(*(jnp.concatenate([c, cr[2 * half : n]], axis=0) for c, cr in zip(s, P)))
+            P = s
+            n = P.shape[0]
+        return Points(P.x[0], P.y[0], P.z[0])
+
+
+from ..fields.constants import bn256_g1, grumpkin, pallas, vesta  # noqa: E402
+
+BN256_G1 = Curve(bn256_g1)
+GRUMPKIN = Curve(grumpkin)
+PALLAS = Curve(pallas)
+VESTA = Curve(vesta)
+
+_CURVES = {c.spec.name: c for c in (BN256_G1, GRUMPKIN, PALLAS, VESTA)}
+
+
+def curve_for(spec: CurveSpec) -> Curve:
+    return _CURVES[spec.name]
