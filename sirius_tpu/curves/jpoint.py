@@ -99,39 +99,38 @@ class Curve:
         return Points(P.x, self.fb.neg(P.y), P.z)
 
     # -- group law -------------------------------------------------------------
+    # Independent field muls are stacked into single batched calls: fewer,
+    # wider kernels (one mont-mul program instance per group instead of one
+    # per operand) — crucial for both XLA compile time and TPU throughput.
     def dbl(self, P: Points) -> Points:
         """Jacobian doubling, a=0 (dbl-2009-l).  Identity-safe (z3 = 2*y*z)."""
         f = self.fb
-        A = f.square(P.x)
-        B = f.square(P.y)
-        C = f.square(B)
-        t = f.square(f.add(P.x, B))
-        D = f.double(f.sub(f.sub(t, A), C))
+        A, B = f.square(jnp.stack([P.x, P.y]))
+        C, T = f.square(jnp.stack([B, f.add(P.x, B)]))
+        D = f.double(f.sub(f.sub(T, A), C))
         E = f.add(f.double(A), A)
         F = f.square(E)
         X3 = f.sub(F, f.double(D))
-        Y3 = f.sub(f.mul(E, f.sub(D, X3)), f.double(f.double(f.double(C))))
-        Z3 = f.double(f.mul(P.y, P.z))
+        u, v = f.mul(jnp.stack([E, P.y]), jnp.stack([f.sub(D, X3), P.z]))
+        Y3 = f.sub(u, f.double(f.double(f.double(C))))
+        Z3 = f.double(v)
         return Points(X3, Y3, Z3)
 
     def add(self, P: Points, Q: Points) -> Points:
         """Complete Jacobian addition via select over the exceptional cases."""
         f = self.fb
-        z1z1 = f.square(P.z)
-        z2z2 = f.square(Q.z)
-        u1 = f.mul(P.x, z2z2)
-        u2 = f.mul(Q.x, z1z1)
-        s1 = f.mul(f.mul(P.y, Q.z), z2z2)
-        s2 = f.mul(f.mul(Q.y, P.z), z1z1)
+        z1z1, z2z2 = f.square(jnp.stack([P.z, Q.z]))
+        u1, u2, t1, t2 = f.mul(
+            jnp.stack([P.x, Q.x, P.y, Q.y]), jnp.stack([z2z2, z1z1, Q.z, P.z])
+        )
+        s1, s2 = f.mul(jnp.stack([t1, t2]), jnp.stack([z2z2, z1z1]))
         h = f.sub(u2, u1)
         r = f.sub(s2, s1)
-        hh = f.square(h)
-        hhh = f.mul(h, hh)
-        v = f.mul(u1, hh)
-        r2 = f.square(r)
+        hh, r2 = f.square(jnp.stack([h, r]))
+        hhh, v, zz = f.mul(jnp.stack([h, u1, P.z]), jnp.stack([hh, hh, Q.z]))
         x3 = f.sub(f.sub(r2, hhh), f.double(v))
-        y3 = f.sub(f.mul(r, f.sub(v, x3)), f.mul(s1, hhh))
-        z3 = f.mul(f.mul(P.z, Q.z), h)
+        a, b, z3 = f.mul(jnp.stack([r, s1, zz]), jnp.stack([f.sub(v, x3), hhh, h]))
+        y3 = f.sub(a, b)
         general = Points(x3, y3, z3)
 
         p_inf = self.is_identity(P)

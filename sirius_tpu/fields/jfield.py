@@ -33,6 +33,22 @@ from . import limb as limbutil
 L = NUM_LIMBS
 MASK = np.uint32(LIMB_MASK)
 
+import os as _os
+from functools import lru_cache as _lru_cache
+
+
+@_lru_cache(maxsize=1)
+def _unroll_mul() -> bool:
+    """Unrolled CIOS on accelerators (fusion + HBM locality); fori_loop on CPU
+    (compile time).  Override with SIRIUS_TPU_UNROLL=0/1."""
+    env = _os.environ.get("SIRIUS_TPU_UNROLL")
+    if env is not None:
+        return env not in ("0", "false")
+    try:
+        return jax.default_backend() != "cpu"
+    except Exception:
+        return True
+
 
 def _pad_last(x, before: int, after: int):
     pads = [(0, 0)] * (x.ndim - 1) + [(before, after)]
@@ -115,14 +131,23 @@ class Field:
     def _ripple(t):
         """Carry-propagate (..., n) uint32 accumulators (< 2^31 each) into
         canonical 16-bit limbs.  Returns (limbs, carry_out)."""
-        n = t.shape[-1]
-        outs = []
-        c = jnp.zeros(t.shape[:-1], jnp.uint32)
-        for j in range(n):
-            s = t[..., j] + c
-            outs.append(s & MASK)
-            c = s >> LIMB_BITS
-        return jnp.stack(outs, axis=-1), c
+        if _unroll_mul():
+            n = t.shape[-1]
+            outs = []
+            c = jnp.zeros(t.shape[:-1], jnp.uint32)
+            for j in range(n):
+                s = t[..., j] + c
+                outs.append(s & MASK)
+                c = s >> LIMB_BITS
+            return jnp.stack(outs, axis=-1), c
+        tt = jnp.moveaxis(t, -1, 0)
+
+        def step(c, tj):
+            s = tj + c
+            return s >> LIMB_BITS, s & MASK
+
+        c, outs = jax.lax.scan(step, jnp.zeros(t.shape[:-1], jnp.uint32), tt)
+        return jnp.moveaxis(outs, 0, -1), c
 
     def _cond_sub_p(self, r):
         """r (..., L) canonical limbs with value < 2p -> value mod p."""
@@ -154,22 +179,36 @@ class Field:
         return self.add(a, a)
 
     def mul(self, a, b):
-        """Montgomery product: returns a*b*R^{-1} mod p.  CIOS with lazy carries."""
+        """Montgomery product: returns a*b*R^{-1} mod p.  CIOS with lazy carries.
+
+        Two lowering modes: fully unrolled (TPU default — one fusable kernel,
+        minimal HBM traffic) or a fori_loop over the 16 CIOS iterations (CPU
+        default — ~20x smaller XLA graphs, keeps test compiles fast).
+        """
         shape = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
         a = jnp.broadcast_to(a, shape + (L,))
         b = jnp.broadcast_to(b, shape + (L,))
         p_limbs = jnp.asarray(self.p_limbs)
-        t = jnp.zeros(shape + (L + 1,), jnp.uint32)
-        for i in range(L):
-            prod = a[..., i : i + 1] * b  # exact uint32
+
+        def step(t, ai):
+            prod = ai[..., None] * b  # exact uint32
             t = t + _pad_last(prod & MASK, 0, 1) + _pad_last(prod >> LIMB_BITS, 1, 0)
             m = ((t[..., 0] & MASK) * self.n0inv) & MASK
             q = m[..., None] * p_limbs
             t = t + _pad_last(q & MASK, 0, 1) + _pad_last(q >> LIMB_BITS, 1, 0)
             carry0 = t[..., 0] >> LIMB_BITS  # t[...,0] == 0 mod 2^16 by construction
-            t = jnp.concatenate(
+            return jnp.concatenate(
                 [(t[..., 1:2] + carry0[..., None]), t[..., 2:], jnp.zeros(shape + (1,), jnp.uint32)],
                 axis=-1,
+            )
+
+        t = jnp.zeros(shape + (L + 1,), jnp.uint32)
+        if _unroll_mul():
+            for i in range(L):
+                t = step(t, a[..., i])
+        else:
+            t = jax.lax.fori_loop(
+                0, L, lambda i, t: step(t, jax.lax.dynamic_index_in_dim(a, i, axis=-1, keepdims=False)), t
             )
         r, _ = self._ripple(t)
         return self._cond_sub_p(r[..., :L])

@@ -1,0 +1,107 @@
+"""Pedersen vector commitments over a fixed generator key.
+
+Replaces reference `src/commitment.rs` (SURVEY.md §2.1): `setup` derives 2^k
+generators from a Shake256 XOF over the label -> hash-to-curve; `commit` is
+an MSM over the first len(v) generators.  Keys cache to disk keyed by
+(label, k) like the reference's `.cache` flow (`commitment.rs:99-170`).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from dataclasses import dataclass
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..curves import jpoint
+from ..curves.hash_to_curve import hash_bytes_to_point
+from ..curves.jpoint import Curve, Points
+from ..fields import gold
+from ..fields.constants import NUM_LIMBS, CurveSpec
+from ..fields.limb import ints_to_limbs
+from ..ops import msm as msm_ops
+
+CACHE_DIR = os.environ.get("SIRIUS_TPU_CACHE", os.path.expanduser("~/.cache/sirius_tpu"))
+
+
+class CommitmentError(Exception):
+    pass
+
+
+class TooLongInput(CommitmentError):
+    def __init__(self, input_len, limit):
+        super().__init__(f"input len {input_len} > key size {limit}")
+
+
+@dataclass
+class CommitmentKey:
+    """2^k generators, resident on device as a Jacobian batch (z=1)."""
+
+    curve: Curve
+    points: Points  # (n,) device batch
+    label: bytes
+    k: int
+    window_bits: int = 16
+
+    def __len__(self):
+        return self.points.x.shape[0]
+
+    @staticmethod
+    def setup(curve: Curve, k: int, label: bytes, use_cache: bool = True, window_bits: int = 16) -> "CommitmentKey":
+        """Shake256(label) XOF -> 64 uniform bytes/point -> SVDW hash-to-curve
+        (reference `commitment.rs:55-79` structure)."""
+        n = 1 << k
+        cache_file = os.path.join(
+            CACHE_DIR, f"{curve.spec.name}-{label.decode(errors='ignore')}-{k}.npz"
+        )
+        if use_cache and os.path.exists(cache_file):
+            data = np.load(cache_file)
+            pts = Points(
+                jnp.asarray(data["x"]), jnp.asarray(data["y"]), jnp.asarray(data["z"])
+            )
+            return CommitmentKey(curve, pts, label, k, window_bits)
+
+        xof = hashlib.shake_256(label)
+        stream = xof.digest(64 * n)
+        affine = [
+            hash_bytes_to_point(curve.spec, stream[i * 64 : (i + 1) * 64]) for i in range(n)
+        ]
+        pts = curve.encode(affine)
+        if use_cache:
+            os.makedirs(CACHE_DIR, exist_ok=True)
+            np.savez(
+                cache_file,
+                x=np.asarray(pts.x),
+                y=np.asarray(pts.y),
+                z=np.asarray(pts.z),
+            )
+        return CommitmentKey(curve, pts, label, k, window_bits)
+
+    def commit_device(self, w_mont: jnp.ndarray, window_bits: int | None = None) -> gold.AffinePoint:
+        """Commit to a (size, L) Montgomery device array."""
+        scalars = self.curve.fs.from_mont(w_mont)
+        n = scalars.shape[0]
+        if n > len(self):
+            raise TooLongInput(n, len(self))
+        if n == 0:
+            return gold.identity(self.curve.spec)
+        pts = Points(self.points.x[:n], self.points.y[:n], self.points.z[:n])
+        res = msm_ops.msm_jitted(self.curve, scalars, pts, window_bits=window_bits or self.window_bits)
+        return self.curve.decode(Points(*(c[None] for c in res)))[0]
+
+    def commit(self, v_ints: list[int] | jnp.ndarray, window_bits: int | None = None) -> gold.AffinePoint:
+        """Commit to a scalar vector (host ints or (n,16) standard-form limb
+        array); returns the affine point (reference `commitment.rs:81-90`)."""
+        if isinstance(v_ints, (list, tuple)):
+            n = len(v_ints)
+            scalars = jnp.asarray(ints_to_limbs([v % self.curve.fs.p for v in v_ints]))
+        else:
+            scalars = v_ints
+            n = scalars.shape[0]
+        if n > len(self):
+            raise TooLongInput(n, len(self))
+        pts = Points(self.points.x[:n], self.points.y[:n], self.points.z[:n])
+        res = msm_ops.msm_jitted(self.curve, scalars, pts, window_bits=window_bits or self.window_bits)
+        return self.curve.decode(Points(*(c[None] for c in res)))[0]

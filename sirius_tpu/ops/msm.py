@@ -1,0 +1,173 @@
+"""Multi-scalar multiplication kernels (device).
+
+TPU-native replacement for halo2curves `best_multiexp` (reference
+`src/commitment.rs:81-90`; SURVEY.md §2.8 item 2).  Instead of the CPU
+Pippenger's sequential bucket pushes, a fully data-parallel formulation:
+
+  per c-bit window (lax.scan over windows — one compiled body):
+    digits        = c-bit slice of the scalar limbs
+    sort          = argsort(digits) -> contiguous bucket segments
+    segment sums  = segmented inclusive scan (Hillis-Steele via fori_loop:
+                    log n iterations of one vectorized complete-EC-add body)
+    bucket table  = searchsorted gather of each segment's last element
+    window total  = sum_v v * B_v via suffix-scan + total-scan
+  combine windows by Horner (fori_loop, c doublings + 1 add per window).
+
+Scan bodies compile once; the whole MSM is a single XLA program.  Rows shard
+over the mesh axis for multi-chip (see parallel/).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..curves.jpoint import Curve, Points
+from ..fields.constants import LIMB_BITS, NUM_LIMBS
+
+WINDOW_BITS = LIMB_BITS  # default window = one 16-bit storage limb
+
+
+def _shifted(P: Points, ident: Points, shift) -> Points:
+    """P[i - shift] with identity fill for i < shift (shift may be traced)."""
+    n = P.x.shape[0]
+    idx = jnp.arange(n)
+    rolled = Points(
+        jnp.roll(P.x, shift, axis=0),
+        jnp.roll(P.y, shift, axis=0),
+        jnp.roll(P.z, shift, axis=0),
+    )
+    keep = (idx >= shift)[:, None]
+    return Points(
+        jnp.where(keep, rolled.x, ident.x),
+        jnp.where(keep, rolled.y, ident.y),
+        jnp.where(keep, rolled.z, ident.z),
+    )
+
+
+def _segmented_scan_add(curve: Curve, P: Points, seg: jnp.ndarray) -> Points:
+    """Inclusive segmented scan of EC adds over sorted segment ids.
+
+    Hillis-Steele: log2(n) rounds of one vectorized complete add; the body
+    compiles once (shift is a traced value)."""
+    n = P.x.shape[0]
+    ident = curve.identity((n,))
+    steps = max((n - 1).bit_length(), 1)
+    idx = jnp.arange(n)
+
+    def body(j, carry):
+        P = carry
+        shift = jnp.int32(1) << j
+        Pprev = _shifted(P, ident, shift)
+        seg_prev = jnp.roll(seg, shift, axis=0)
+        same = (idx >= shift) & (seg_prev == seg)
+        combined = curve.add(P, Pprev)
+        return curve.select(same, combined, P)
+
+    return jax.lax.fori_loop(0, steps, body, P)
+
+
+def _suffix_scan_add(curve: Curve, P: Points) -> Points:
+    """S[i] = sum_{j >= i} P[j] (inclusive suffix sums)."""
+    n = P.x.shape[0]
+    ident = curve.identity((n,))
+    steps = max((n - 1).bit_length(), 1)
+    idx = jnp.arange(n)
+
+    def body(j, carry):
+        P = carry
+        shift = jnp.int32(1) << j
+        # P[i + shift] with identity fill for i >= n - shift
+        rolled = Points(
+            jnp.roll(P.x, -shift, axis=0),
+            jnp.roll(P.y, -shift, axis=0),
+            jnp.roll(P.z, -shift, axis=0),
+        )
+        keep = (idx < n - shift)[:, None]
+        Pnext = Points(
+            jnp.where(keep, rolled.x, ident.x),
+            jnp.where(keep, rolled.y, ident.y),
+            jnp.where(keep, rolled.z, ident.z),
+        )
+        return curve.add(P, Pnext)
+
+    return jax.lax.fori_loop(0, steps, body, P)
+
+
+def msm(curve: Curve, scalars_std: jnp.ndarray, points: Points, window_bits: int = WINDOW_BITS) -> Points:
+    """MSM over fixed-width windows.
+
+    scalars_std: uint32 (n, 16) limbs in *standard* (non-Montgomery) form.
+    points: Jacobian batch (n,).  Returns a single Jacobian point (shape ()).
+    """
+    n = scalars_std.shape[0]
+    c = window_bits
+    assert LIMB_BITS % c == 0
+    num_windows = (NUM_LIMBS * LIMB_BITS) // c
+    cmask = np.uint32((1 << c) - 1)
+
+    # (num_windows, n) digit matrix
+    digits = jnp.stack(
+        [
+            (scalars_std[:, (w * c) // LIMB_BITS] >> ((w * c) % LIMB_BITS)) & cmask
+            for w in range(num_windows)
+        ]
+    )
+
+    def window_body(_, d_raw):
+        order = jnp.argsort(d_raw)
+        d = d_raw[order]
+        P = Points(points.x[order], points.y[order], points.z[order])
+        P = curve.select(d == 0, curve.identity((n,)), P)
+        scanned = _segmented_scan_add(curve, P, d)
+        vs = jnp.arange(1, 1 << c, dtype=jnp.uint32)
+        idx = jnp.clip(jnp.searchsorted(d, vs, side="right") - 1, 0, n - 1)
+        seg_last = Points(scanned.x[idx], scanned.y[idx], scanned.z[idx])
+        present = d[idx] == vs
+        buckets = curve.select(present, seg_last, curve.identity(vs.shape))
+        # sum_v v*B_v: suffix sums S_j then sum_j S_j (= element 0 of a
+        # second suffix scan)
+        suffix = _suffix_scan_add(curve, buckets)
+        total_scan = _suffix_scan_add(curve, suffix)
+        total = Points(total_scan.x[0], total_scan.y[0], total_scan.z[0])
+        return None, total
+
+    _, totals = jax.lax.scan(window_body, None, digits)
+
+    # Horner from the most significant window down
+    acc = Points(totals.x[-1], totals.y[-1], totals.z[-1])
+
+    def horner_body(i, acc):
+        w = num_windows - 2 - i
+        acc = jax.lax.fori_loop(0, c, lambda _, a: curve.dbl(a), acc)
+        return curve.add(acc, Points(totals.x[w], totals.y[w], totals.z[w]))
+
+    if num_windows > 1:
+        acc = jax.lax.fori_loop(0, num_windows - 1, horner_body, acc)
+    return acc
+
+
+@lru_cache(maxsize=None)
+def _msm_jit(curve: Curve, window_bits: int):
+    return jax.jit(partial(msm, curve, window_bits=window_bits))
+
+
+def msm_jitted(curve: Curve, scalars_std, points, window_bits: int = WINDOW_BITS) -> Points:
+    return _msm_jit(curve, window_bits)(scalars_std, points)
+
+
+def msm_naive(curve: Curve, scalars_std: jnp.ndarray, points: Points) -> Points:
+    """Binary double-and-add reference kernel (for tests / tiny inputs)."""
+    nbits = 16 * NUM_LIMBS
+
+    def body(i, acc):
+        b = nbits - 1 - i
+        acc = curve.dbl(acc)
+        bit = (scalars_std[:, b // LIMB_BITS] >> (b % LIMB_BITS)) & 1
+        masked = curve.select(bit > 0, points, curve.identity(points.shape))
+        return curve.add(acc, curve.sum_reduce(masked, axis=0))
+
+    return jax.lax.fori_loop(0, nbits, body, curve.identity(()))

@@ -1,0 +1,81 @@
+"""Evaluation domains: resolve expression queries to device column arrays.
+
+Replaces reference `src/plonk/eval.rs` (SURVEY.md §2.3).  The reference
+resolves (round, slot) per row at interpretation time; here the mapping is
+baked at trace time into static slices of the round witness arrays, and the
+whole expression evaluates row-parallel.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Sequence
+
+import jax.numpy as jnp
+
+from ..poly.evaluator import evaluate_expressions, rotate_rows
+from ..poly.expression import Expression, Query
+from .structure import PlonkStructure
+
+
+def witness_index_map(num_advice: int, num_witness: int, index: int) -> tuple[int, int]:
+    """Folded-variable index -> (round, slot) (reference `eval.rs:93-229`).
+
+    index < num_advice -> advice slot in round 0; lookup vars (l,t,m | h,g)
+    land per the round layout decided by the SPS round count.
+    """
+    if index < num_advice:
+        return (0, index)
+    lookup_index = (index - num_advice) // 5
+    sub = (index - num_advice) % 5
+    first_round, sub = (True, sub) if sub < 3 else (False, sub - 3)
+    if num_witness == 2:
+        if first_round:
+            return (0, num_advice + lookup_index * 3 + sub)
+        return (1, lookup_index * 2 + sub)
+    if num_witness == 3:
+        if first_round:
+            return (1, lookup_index * 3 + sub)
+        return (2, lookup_index * 2 + sub)
+    raise ValueError(f"invalid witness index {index} for {num_witness} rounds")
+
+
+@dataclass
+class PlonkEvalDomain:
+    """Two witness sets (accumulator + incoming) for cross-term evaluation;
+    W2s empty for plain satisfaction checks."""
+
+    S: PlonkStructure
+    challenges: list  # list of (L,) Montgomery device scalars
+    W1s: list  # list of (round_size, L) device arrays
+    W2s: list
+
+    def resolve_challenge(self, index: int):
+        return self.challenges[index]
+
+    def resolve_poly(self, q: Query):
+        S = self.S
+        n = S.n
+        idx = q.index
+        num_sel = S.selectors.shape[0]
+        num_fixed = len(S.fixed_columns)
+        if idx < num_sel:
+            col = S.selectors_device[idx]
+        elif idx < num_sel + num_fixed:
+            col = S.fixed_device[idx - num_sel]
+        else:
+            fold_idx = idx - num_sel - num_fixed
+            max_width = S.num_fold_vars()
+            if fold_idx < max_width:
+                Ws, local = self.W1s, fold_idx
+            else:
+                Ws, local = self.W2s, fold_idx - max_width
+            rnd, slot = witness_index_map(S.num_advice_columns, len(Ws), local)
+            col = Ws[rnd][slot * n : (slot + 1) * n]
+        return rotate_rows(col, q.rotation)
+
+    def evaluate(self, exprs: Sequence[Expression]) -> list:
+        """Trace exprs into (n, L) Montgomery arrays (jit at the call site)."""
+        return evaluate_expressions(
+            self.S.field, exprs, self.resolve_poly, self.resolve_challenge
+        )

@@ -1,0 +1,56 @@
+"""NTT: device kernel vs gold model vs reference inline golden vector."""
+
+import numpy as np
+import pytest
+
+from sirius_tpu.fields import gold
+from sirius_tpu.fields.constants import bn256_fr, pasta_fp
+from sirius_tpu.fields.jfield import FR, PASTA_FP
+from sirius_tpu.ops.ntt import ntt_ctx
+
+# reference src/fft.rs:241-252: fft([0..8]) over bn256 Fr
+GOLDEN_FFT8 = [
+    28,
+    68918385373930674424918168212551896122229959265833979749191472831399925654,
+    17631683881184975370165255887551781615748388533673675138856,
+    68918385373930639161550405842601155791718184162270748252414405484049647934,
+    21888242871839275222246405745257275088548364400416034343698204186575808495613,
+    21819324486465344583084855339414673932756646216253763595445789781091758847675,
+    21888242871839275204614721864072299718383108512864252727949815652902133356753,
+    21819324486465344547821487577044723192426134441150200363949012713744408569955,
+]
+
+
+def test_gold_fft_reference_vector():
+    assert gold.fft(list(range(8)), bn256_fr) == GOLDEN_FFT8
+
+
+def test_device_fft_reference_vector():
+    ctx = ntt_ctx(bn256_fr, 3)
+    out = FR.decode(ctx.fft(FR.encode(list(range(8)))))
+    assert out == GOLDEN_FFT8
+
+
+@pytest.mark.parametrize("k", [4, 6])
+def test_fft_ifft_roundtrip(k, rng):
+    ctx = ntt_ctx(bn256_fr, k)
+    xs = [int(x) for x in rng.integers(0, 2**62, size=1 << k)]
+    a = FR.encode(xs)
+    assert FR.decode(ctx.ifft(ctx.fft(a))) == xs
+    # vs gold
+    assert FR.decode(ctx.fft(a)) == gold.fft(xs, bn256_fr)
+
+
+@pytest.mark.parametrize("k", [5])
+def test_coset_roundtrip(k, rng):
+    ctx = ntt_ctx(bn256_fr, k)
+    xs = [int(x) for x in rng.integers(0, 2**62, size=1 << k)]
+    a = FR.encode(xs)
+    assert FR.decode(ctx.coset_ifft(ctx.coset_fft(a))) == xs
+    assert FR.decode(ctx.coset_fft(a)) == gold.coset_fft(xs, bn256_fr)
+
+
+def test_pasta_fft(rng):
+    ctx = ntt_ctx(pasta_fp, 4)
+    xs = [int(x) for x in rng.integers(0, 2**62, size=16)]
+    assert PASTA_FP.decode(ctx.fft(PASTA_FP.encode(xs))) == gold.fft(xs, pasta_fp)
