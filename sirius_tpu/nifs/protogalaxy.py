@@ -1,0 +1,547 @@
+"""ProtoGalaxy NIFS: multi-instance folding with F/G/K polynomials.
+
+Replaces reference `src/nifs/protogalaxy/{mod,accumulator,poly/*}.rs`
+(SURVEY.md §2.4).  The transcript RO lives over the *scalar* field (no ECC:
+commitments absorb as 64-bit x 20 limb decompositions of their base-field
+coordinates, reference `BigUintPoint`).  The F/G tree reductions become
+log-depth halving folds over device leaf arrays (SURVEY.md §2.8 item 7).
+
+Documented deviation (PARITY.md): the reference's leaf indexer
+(`plonk/mod.rs:714`) computes `row = index & total_row`, which collapses
+every leaf to row 0; we use `row = index % total_row` so every row
+contributes, matching the ProtoGalaxy paper.  Prover/verifier/is_sat remain
+mutually consistent either way.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from ..fields import gold
+from ..fields.constants import CurveSpec
+from ..ops.commitment import CommitmentKey
+from ..ops.poseidon import PoseidonHash
+from ..plonk.eval import PlonkEvalDomain
+from ..plonk.sps import run_sps_protocol, sps_verify
+from ..plonk.structure import PlonkInstance, PlonkStructure, PlonkTrace, PlonkWitness
+from ..poly import lagrange
+from ..poly.univariate import UnivariatePoly
+from ..util.ro import MAX_BITS
+
+# reference `ivc/cyclefold/mod.rs:26-29`
+DEFAULT_LIMB_WIDTH = 64
+DEFAULT_LIMBS_COUNT = 20
+
+
+class ProtoGalaxyError(Exception):
+    pass
+
+
+class VerifyError(Exception):
+    pass
+
+
+def biguint_limbs(x: int, width: int = DEFAULT_LIMB_WIDTH, count: int = DEFAULT_LIMBS_COUNT) -> list[int]:
+    """Little-endian fixed-width limb decomposition (reference
+    `BigUintPoint`/`big_uint.rs`)."""
+    mask = (1 << width) - 1
+    return [(x >> (i * width)) & mask for i in range(count)]
+
+
+def absorb_point_limbs(ro: PoseidonHash, pt, scalar_modulus: int):
+    """Absorb a commitment as limb decompositions of its affine coords
+    (identity -> (0,0)); reference `PlonkInstanceWrapper` absorb."""
+    x, y = (0, 0) if pt.is_identity else (pt.x, pt.y)
+    for v in biguint_limbs(x) + biguint_limbs(y):
+        ro.absorb_field(v % scalar_modulus)
+
+
+def absorb_instance(ro: PoseidonHash, u: PlonkInstance, q: int):
+    for c in u.W_commitments:
+        absorb_point_limbs(ro, c, q)
+    for inst in u.instances:
+        for v in inst:
+            ro.absorb_field(v % q)
+    for ch in u.challenges:
+        ro.absorb_field(ch % q)
+
+
+@dataclass
+class Accumulator:
+    """Reference `accumulator.rs:16-57`."""
+
+    trace: PlonkTrace
+    betas: list[int]
+    e: int
+
+    def clone(self):
+        return Accumulator(self.trace.clone(), list(self.betas), self.e)
+
+
+@dataclass
+class AccumulatorInstance:
+    ins: PlonkInstance
+    betas: list[int]
+    e: int
+
+    @staticmethod
+    def from_acc(acc: Accumulator) -> "AccumulatorInstance":
+        return AccumulatorInstance(acc.trace.u.clone(), list(acc.betas), acc.e)
+
+    def absorb_into(self, ro: PoseidonHash, q: int):
+        """W limbs, instances, challenges, betas, e (reference
+        `accumulator.rs:100-129`)."""
+        absorb_instance(ro, self.ins, q)
+        for b in self.betas:
+            ro.absorb_field(b % q)
+        ro.absorb_field(self.e % q)
+
+
+@dataclass
+class Proof:
+    poly_F: UnivariatePoly
+    poly_K: UnivariatePoly
+
+
+@dataclass
+class ProverParam:
+    S: PlonkStructure
+    pp_digest: tuple[int, int]
+
+    def absorb_into(self, ro: PoseidonHash, q: int):
+        ro.absorb_field(self.pp_digest[0] % q)
+        ro.absorb_field(self.pp_digest[1] % q)
+
+
+VerifierParam = ProverParam  # same absorb shape, no S needed for absorb
+
+
+# ---------------------------------------------------------------------------
+# Poly context / sizes (reference `poly/mod.rs:205-269,511-545`)
+# ---------------------------------------------------------------------------
+
+
+def _next_pow2(x: int) -> int:
+    return 1 << max((x - 1).bit_length(), 0) if x > 1 else 1
+
+
+def count_of_evaluation(S: PlonkStructure) -> int:
+    return (1 << S.k) * len(S.gates)
+
+
+def count_of_evaluation_with_padding(S: PlonkStructure) -> int:
+    return _next_pow2(count_of_evaluation(S))
+
+
+@dataclass
+class PolyContext:
+    S: PlonkStructure
+    L: int  # number of incoming traces
+
+    @property
+    def instances_to_fold(self) -> int:
+        n = self.L + 1
+        assert n & (n - 1) == 0, "L+1 must be a power of two"
+        return n
+
+    @property
+    def count_padded(self) -> int:
+        return count_of_evaluation_with_padding(self.S)
+
+    @property
+    def betas_count(self) -> int:
+        return self.count_padded.bit_length() - 1
+
+    @property
+    def fft_points_count_F(self) -> int:
+        return _next_pow2(self.betas_count + 1)
+
+    @property
+    def max_gate_degree(self) -> int:
+        ctx = self.S.query_index_ctx
+        return max((g.degree(ctx) for g in self.S.gates), default=0)
+
+    @property
+    def fft_points_count_G(self) -> int:
+        return _next_pow2(self.L * self.max_gate_degree + 1)
+
+    @property
+    def lagrange_domain(self) -> int:
+        return self.instances_to_fold.bit_length() - 1
+
+    @property
+    def fft_log_domain_size_K(self) -> int:
+        # NOTE: mirrors the reference exactly (`poly/mod.rs:263-268`), which
+        # uses next_power_of_two(G_points + 1 - (L+1)) *as the log itself* —
+        # an oversized but harmless domain (interpolating a polynomial on
+        # more points than its degree recovers the same polynomial).
+        v = max(self.fft_points_count_G + 1 - self.instances_to_fold, 1)
+        return _next_pow2(v)
+
+
+# ---------------------------------------------------------------------------
+# Leaf evaluation + tree reductions (device)
+# ---------------------------------------------------------------------------
+
+
+def _leaves(S: PlonkStructure, challenges: Sequence[int], W: PlonkWitness) -> jnp.ndarray:
+    """All gates evaluated over all rows, gate-major, zero-padded to 2^m.
+
+    Reference `get_evaluate_witness_fn` order [gate0(rows), gate1(rows), ...]
+    (with the row-index fix documented in the module docstring)."""
+    f = S.field
+    dom = PlonkEvalDomain(
+        S,
+        challenges=[f.encode([c % f.p])[0] for c in challenges],
+        W1s=list(W.W),
+        W2s=[],
+    )
+    outs = dom.evaluate(list(S.gates))  # list of (n, L)
+    flat = jnp.concatenate(outs, axis=0) if outs else f.zeros((0,))
+    pad = count_of_evaluation_with_padding(S) - flat.shape[0]
+    if pad:
+        flat = jnp.concatenate([flat, f.zeros((pad,))], axis=0)
+    return flat
+
+
+def _tree_reduce(field, vals: jnp.ndarray, weights: Sequence[jnp.ndarray]) -> jnp.ndarray:
+    """Binary reduce: at level h, out = left + weights[h] * right.
+
+    vals: (2^m, L); weights[h]: (L,) Montgomery scalars.  Returns (L,)."""
+    f = field
+    m = vals.shape[0].bit_length() - 1
+    for h in range(m):
+        left = vals[0::2]
+        right = vals[1::2]
+        vals = f.add(left, f.mul(weights[h], right))
+    return vals[0]
+
+
+def evaluate_e_from_trace(S: PlonkStructure, trace: PlonkTrace, betas: Sequence[int]) -> int:
+    """Reference `evaluate_e_from_trace` (`nifs/protogalaxy/mod.rs:571-640`)."""
+    if count_of_evaluation(S) == 0:
+        return 0
+    f = S.field
+    vals = _leaves(S, trace.u.challenges, trace.w)
+    weights = [f.encode([b % f.p])[0] for b in betas]
+    return f.decode_one(_tree_reduce(f, vals, weights))
+
+
+# ---------------------------------------------------------------------------
+# F / G / K polynomials
+# ---------------------------------------------------------------------------
+
+
+def compute_F(ctx: PolyContext, betas: Sequence[int], delta: int, trace: PlonkTrace) -> UnivariatePoly:
+    """F(X) = sum_i pow_i(beta + X*delta_sq) f_i (reference `poly/mod.rs:68-203`).
+
+    deltas[h] = delta^(2^h); edge weight at level h for point X:
+    beta[h] + X * deltas[h]."""
+    S = ctx.S
+    spec = S.spec
+    p = spec.modulus
+    if count_of_evaluation(S) == 0:
+        return UnivariatePoly(spec, [])
+    f = S.field
+    t = ctx.fft_points_count_F
+    m = ctx.betas_count
+
+    deltas = []
+    d = delta % p
+    for _ in range(m):
+        deltas.append(d)
+        d = d * d % p
+
+    vals0 = _leaves(S, trace.u.challenges, trace.w)
+    points = []
+    for X in lagrange.iter_cyclic_subgroup(spec, t.bit_length() - 1):
+        weights = [f.encode([(betas[h] + X * deltas[h]) % p])[0] for h in range(m)]
+        points.append(f.decode_one(_tree_reduce(f, vals0, weights)))
+
+    return UnivariatePoly(spec, gold.fft(points, spec, inverse=True))
+
+
+def fold_witness_device(field, witnesses: Sequence[PlonkWitness], ls: Sequence[int]) -> PlonkWitness:
+    """sum_j L_j * w_j over device round arrays."""
+    f = field
+    l_dev = [f.encode([l % f.p])[0] for l in ls]
+    out = []
+    for rnd in range(len(witnesses[0].W)):
+        acc = f.mul(l_dev[0], witnesses[0].W[rnd])
+        for j in range(1, len(witnesses)):
+            acc = f.add(acc, f.mul(l_dev[j], witnesses[j].W[rnd]))
+        out.append(acc)
+    return PlonkWitness(out)
+
+
+def compute_G(
+    ctx: PolyContext,
+    betas_stroke: Sequence[int],
+    accumulator: PlonkTrace,
+    traces: Sequence[PlonkTrace],
+) -> UnivariatePoly:
+    """G(X) = sum_i pow_i(beta') f_i(sum_j L_j(X) w_j)
+    (reference `poly/mod.rs:308-425`)."""
+    S = ctx.S
+    spec = S.spec
+    p = spec.modulus
+    f = S.field
+    m = ctx.betas_count
+    weights = [f.encode([b % p])[0] for b in betas_stroke]
+
+    all_traces = [accumulator, *traces]
+    points = []
+    for X in lagrange.iter_cyclic_subgroup(spec, ctx.fft_points_count_G.bit_length() - 1):
+        ls = list(
+            lagrange.iter_eval_lagrange_poly_for_cyclic_group(spec, X, ctx.lagrange_domain)
+        )
+        w_folded = fold_witness_device(f, [t.w for t in all_traces], ls)
+        ch_folded = [
+            sum(l * (t.u.challenges[ci] if ci < len(t.u.challenges) else 0) for l, t in zip(ls, all_traces)) % p
+            for ci in range(S.num_challenges)
+        ]
+        vals = _leaves(S, ch_folded, w_folded)
+        points.append(f.decode_one(_tree_reduce(f, vals, weights)))
+
+    return UnivariatePoly(spec, gold.fft(points, spec, inverse=True))
+
+
+def compute_K(
+    ctx: PolyContext,
+    poly_F_in_alpha: int,
+    betas_stroke: Sequence[int],
+    accumulator: PlonkTrace,
+    traces: Sequence[PlonkTrace],
+) -> UnivariatePoly:
+    """K from G on a zeta-coset (reference `poly/mod.rs:464-509`)."""
+    S = ctx.S
+    spec = S.spec
+    p = spec.modulus
+    poly_G = compute_G(ctx, betas_stroke, accumulator, traces)
+
+    log_k = ctx.fft_log_domain_size_K
+    zeta = spec.zeta
+    values = []
+    for Xi in lagrange.iter_cyclic_subgroup(spec, log_k):
+        X = zeta * Xi % p
+        g_x = poly_G.eval(X)
+        l0_x = next(
+            iter(lagrange.iter_eval_lagrange_poly_for_cyclic_group(spec, X, ctx.lagrange_domain))
+        )
+        z_x = lagrange.eval_vanish_polynomial(spec, ctx.lagrange_domain, X)
+        k_x = (g_x - poly_F_in_alpha * l0_x) * pow(z_x, -1, p) % p
+        values.append(k_x)
+    return UnivariatePoly(spec, gold.coset_ifft(values, spec))
+
+
+def calculate_e(poly_F: UnivariatePoly, poly_K: UnivariatePoly, gamma: int, alpha: int, log_n: int) -> int:
+    """e' = F(alpha)*L_0(gamma) + Z(gamma)*K(gamma)
+    (reference `nifs/protogalaxy/mod.rs:748-764`)."""
+    spec = poly_F.spec
+    p = spec.modulus
+    l0 = next(iter(lagrange.iter_eval_lagrange_poly_for_cyclic_group(spec, gamma, log_n)))
+    return (
+        poly_F.eval(alpha) * l0 + lagrange.eval_vanish_polynomial(spec, log_n, gamma) * poly_K.eval(gamma)
+    ) % p
+
+
+def betas_stroke_of(betas: Sequence[int], alpha: int, delta: int, p: int) -> list[int]:
+    """beta'[i] = beta[i] + alpha * delta^(2^i) (reference `iter_beta_stroke`)."""
+    out = []
+    d = delta % p
+    for b in betas:
+        out.append((b + alpha * d) % p)
+        d = d * d % p
+    return out
+
+
+# ---------------------------------------------------------------------------
+# The scheme
+# ---------------------------------------------------------------------------
+
+
+class ProtoGalaxy:
+    @staticmethod
+    def setup_params(pp_digest_point, S: PlonkStructure):
+        coords = (0, 0) if pp_digest_point.is_identity else (pp_digest_point.x, pp_digest_point.y)
+        return ProverParam(S, coords), ProverParam(S, coords)
+
+    @staticmethod
+    def generate_plonk_trace(ck, instances, witness, pp: ProverParam, ro_nark: PoseidonHash) -> PlonkTrace:
+        return run_sps_protocol(pp.S, ck, instances, witness, ro_nark)
+
+    @staticmethod
+    def _delta(pp, ro_acc: PoseidonHash, acc_ins: AccumulatorInstance, instances, q: int) -> int:
+        pp.absorb_into(ro_acc, q)
+        acc_ins.absorb_into(ro_acc, q)
+        for u in instances:
+            absorb_instance(ro_acc, u, q)
+        return ro_acc.squeeze(MAX_BITS) % q
+
+    @staticmethod
+    def new_accumulator(pp: ProverParam, ro_acc: PoseidonHash, plonk_trace: PlonkTrace, curve: CurveSpec) -> Accumulator:
+        """Reference `new_accumulator` (`nifs/protogalaxy/mod.rs:144-174`):
+        betas[i] = beta * 2^i (doubling chain), e from the trace."""
+        S = pp.S
+        q = S.spec.modulus
+        count = count_of_evaluation_with_padding(S)
+        acc = Accumulator(
+            trace=PlonkTrace(
+                PlonkInstance(
+                    [gold.identity(curve)] * len(S.round_sizes),
+                    [[0] * io for io in S.num_io],
+                    [0] * S.num_challenges,
+                ),
+                PlonkWitness.zeros(S.field, S.round_sizes),
+            ),
+            betas=[0] * (count.bit_length() - 1),
+            e=0,
+        )
+        beta = ProtoGalaxy._delta(pp, ro_acc, AccumulatorInstance.from_acc(acc), [], q)
+        b = beta
+        for i in range(len(acc.betas)):
+            acc.betas[i] = b
+            b = b * 2 % q
+        acc.e = evaluate_e_from_trace(S, plonk_trace, acc.betas)
+        acc.trace = plonk_trace
+        return acc
+
+    @staticmethod
+    def fold_instance(acc_u: PlonkInstance, incoming: Sequence[PlonkInstance], ls: Sequence[int], q: int) -> PlonkInstance:
+        l0 = ls[0]
+        W = [w.mul(l0) for w in acc_u.W_commitments]
+        instances = [[v * l0 % q for v in inst] for inst in acc_u.instances]
+        challenges = [c * l0 % q for c in acc_u.challenges]
+        for u, l in zip(incoming, ls[1:]):
+            W = [a.add(b.mul(l)) for a, b in zip(W, u.W_commitments)]
+            instances = [
+                [(av + l * bv) % q for av, bv in zip(ai, bi)]
+                for ai, bi in zip(instances, u.instances)
+            ]
+            challenges = [(a + l * b) % q for a, b in zip(challenges, u.challenges)]
+        return PlonkInstance(W, instances, challenges)
+
+    @staticmethod
+    def fold_witness(field, acc_w: PlonkWitness, incoming: Sequence[PlonkWitness], ls: Sequence[int]) -> PlonkWitness:
+        return fold_witness_device(field, [acc_w, *incoming], ls)
+
+    @staticmethod
+    def prove(
+        ck,
+        pp: ProverParam,
+        ro_acc: PoseidonHash,
+        accumulator: Accumulator,
+        incoming: Sequence[PlonkTrace],
+    ) -> tuple[Accumulator, Proof]:
+        """Reference `prove` (`nifs/protogalaxy/mod.rs:400-481`)."""
+        S = pp.S
+        q = S.spec.modulus
+        L = len(incoming)
+        ctx = PolyContext(S, L)
+
+        delta = ProtoGalaxy._delta(
+            pp, ro_acc, AccumulatorInstance.from_acc(accumulator), [t.u for t in incoming], q
+        )
+        poly_F = compute_F(ctx, accumulator.betas, delta, accumulator.trace)
+        for c in poly_F.coeffs:
+            ro_acc.absorb_field(c % q)
+        alpha = ro_acc.squeeze(MAX_BITS) % q
+
+        b_stroke = betas_stroke_of(accumulator.betas, alpha, delta, q)
+        poly_K = compute_K(ctx, poly_F.eval(alpha), b_stroke, accumulator.trace, incoming)
+        for c in poly_K.coeffs:
+            ro_acc.absorb_field(c % q)
+        gamma = ro_acc.squeeze(MAX_BITS) % q
+
+        ls = list(lagrange.iter_eval_lagrange_poly_for_cyclic_group(S.spec, gamma, ctx.lagrange_domain))[: L + 1]
+
+        new_acc = Accumulator(
+            trace=PlonkTrace(
+                ProtoGalaxy.fold_instance(accumulator.trace.u, [t.u for t in incoming], ls, q),
+                ProtoGalaxy.fold_witness(S.field, accumulator.trace.w, [t.w for t in incoming], ls),
+            ),
+            betas=b_stroke,
+            e=calculate_e(poly_F, poly_K, gamma, alpha, ctx.lagrange_domain),
+        )
+        return new_acc, Proof(poly_F, poly_K)
+
+    @staticmethod
+    def verify(
+        vp,
+        S_spec,
+        ro_nark: PoseidonHash,
+        ro_acc: PoseidonHash,
+        accumulator: AccumulatorInstance,
+        incoming: Sequence[PlonkInstance],
+        proof: Proof,
+    ) -> AccumulatorInstance:
+        """Reference `verify` (`nifs/protogalaxy/mod.rs:510-553`)."""
+        q = S_spec.modulus
+        L = len(incoming)
+        lagrange_domain = (L + 1).bit_length() - 1
+
+        for u in incoming:
+            sps_verify(u, ro_nark)
+
+        vp.absorb_into(ro_acc, q)
+        accumulator.absorb_into(ro_acc, q)
+        for u in incoming:
+            absorb_instance(ro_acc, u, q)
+        delta = ro_acc.squeeze(MAX_BITS) % q
+        for c in proof.poly_F.coeffs:
+            ro_acc.absorb_field(c % q)
+        alpha = ro_acc.squeeze(MAX_BITS) % q
+        for c in proof.poly_K.coeffs:
+            ro_acc.absorb_field(c % q)
+        gamma = ro_acc.squeeze(MAX_BITS) % q
+
+        b_stroke = betas_stroke_of(accumulator.betas, alpha, delta, q)
+        ls = list(lagrange.iter_eval_lagrange_poly_for_cyclic_group(S_spec, gamma, lagrange_domain))
+        return AccumulatorInstance(
+            ins=ProtoGalaxy.fold_instance(accumulator.ins, incoming, ls, q),
+            betas=b_stroke,
+            e=calculate_e(proof.poly_F, proof.poly_K, gamma, alpha, lagrange_domain),
+        )
+
+    # -- satisfaction (reference `nifs/protogalaxy/mod.rs:642-745`) ------------
+    @staticmethod
+    def is_sat_accumulation(S: PlonkStructure, acc: Accumulator) -> None:
+        evaluated = evaluate_e_from_trace(S, acc.trace, acc.betas)
+        if evaluated != acc.e % S.spec.modulus:
+            raise VerifyError(f"e mismatch: {hex(acc.e)} vs evaluated {hex(evaluated)}")
+
+    @staticmethod
+    def is_sat_permutation(S: PlonkStructure, acc: Accumulator) -> None:
+        from ..poly.sparse import matrix_multiply
+
+        f = S.field
+        Z = [v for inst in acc.trace.u.instances for v in inst]
+        Z += f.decode(acc.trace.w.W[0][: S.n * S.num_advice_columns])
+        out = matrix_multiply(S.permutation_matrix(), Z, f.p, num_rows=len(Z))
+        mism = sum(1 for a, b in zip(out, Z) if a != b)
+        if mism:
+            raise VerifyError(f"permutation mismatch on {mism} entries")
+
+    @staticmethod
+    def is_sat_witness_commit(ck: CommitmentKey, acc: Accumulator) -> None:
+        for i, (Ci, Wi) in enumerate(zip(acc.trace.u.W_commitments, acc.trace.w.W)):
+            if ck.commit_device(Wi) != Ci:
+                raise VerifyError(f"witness commitment mismatch round {i}")
+
+    @staticmethod
+    def is_sat(ck, S: PlonkStructure, acc: Accumulator) -> list:
+        errors = []
+        for check in (
+            lambda: ProtoGalaxy.is_sat_accumulation(S, acc),
+            lambda: ProtoGalaxy.is_sat_permutation(S, acc),
+            lambda: ProtoGalaxy.is_sat_witness_commit(ck, acc),
+        ):
+            try:
+                check()
+            except VerifyError as e:
+                errors.append(e)
+        return errors
