@@ -3,18 +3,18 @@
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-vs_baseline: the reference (snarkify/sirius) runs halo2curves `best_multiexp`
-on a 64-core EPYC 7702; published wall-clocks (BASELINE.md) imply roughly
-1.5e6 points/s for 254-bit Pippenger MSM on that box.  vs_baseline is
-value / 1.5e6 — >1.0 means faster than the reference's CPU MSM.
+The workload is a Pedersen commitment over a cached commitment key — the
+exact hot path of the reference's `CommitmentKey::commit` -> `best_multiexp`
+(`src/commitment.rs:81-90`).
 
-Run on the real TPU (default backend); falls back to a smaller size on CPU.
+vs_baseline: the reference runs halo2curves Pippenger on a 64-core EPYC 7702;
+its published wall-clocks (BASELINE.md) imply roughly 1.5e6 points/s for
+254-bit MSM on that box.  vs_baseline = value / 1.5e6.
 """
 
 from __future__ import annotations
 
 import json
-import sys
 import time
 
 import jax
@@ -27,26 +27,11 @@ import numpy as np
 BASELINE_MSM_POINTS_PER_SEC = 1.5e6
 
 
-def build_points(curve, log_n: int):
-    """points[i] = (i+1)*G via a doubling ladder (log_n broadcast adds)."""
-    from sirius_tpu.curves.jpoint import Points
-    from sirius_tpu.fields import gold
-
-    g = gold.generator(curve.spec)
-    arr = curve.encode([g])  # (1,)
-    step = g
-    for j in range(log_n):
-        # arr_{j+1} = arr_j ++ (arr_j + 2^j * G)
-        sp = curve.encode([step.mul(1 << j)])
-        shifted = curve.add(arr, Points(*(jnp.broadcast_to(c, arr.x.shape) for c in sp)))
-        arr = Points(*(jnp.concatenate([a, b]) for a, b in zip(arr, shifted)))
-    return arr
-
-
 def main():
     from sirius_tpu.curves.jpoint import BN256_G1, Points
     from sirius_tpu.fields import gold
     from sirius_tpu.fields.limb import ints_to_limbs
+    from sirius_tpu.ops.commitment import CommitmentKey
     from sirius_tpu.ops.msm import msm_jitted
 
     curve = BN256_G1
@@ -55,8 +40,7 @@ def main():
     window_bits = 8
     n = 1 << log_n
 
-    points = build_points(curve, log_n)
-    points.x.block_until_ready()
+    ck = CommitmentKey.setup(curve, log_n, b"bench", use_cache=True, window_bits=window_bits)
 
     rng = np.random.default_rng(42)
     scalars = [
@@ -68,18 +52,19 @@ def main():
     # correctness spot-check on a small prefix with the same kernel config
     m = 32
     small = msm_jitted(
-        curve, arr[:m], Points(points.x[:m], points.y[:m], points.z[:m]), window_bits
+        curve, arr[:m], Points(ck.points.x[:m], ck.points.y[:m], ck.points.z[:m]), window_bits
     )
     got = curve.decode(Points(*(c[None] for c in small)))[0]
-    want = gold.msm(scalars[:m], [gold.generator(curve.spec).mul(i + 1) for i in range(m)])
+    prefix_pts = curve.decode(Points(ck.points.x[:m], ck.points.y[:m], ck.points.z[:m]))
+    want = gold.msm(scalars[:m], prefix_pts)
     assert got == want, "MSM kernel disagrees with gold model"
 
     # compile + warmup
-    res = msm_jitted(curve, arr, points, window_bits)
+    res = msm_jitted(curve, arr, ck.points, window_bits)
     res.x.block_until_ready()
     # timed run
     t0 = time.time()
-    res = msm_jitted(curve, arr, points, window_bits)
+    res = msm_jitted(curve, arr, ck.points, window_bits)
     res.x.block_until_ready()
     dt = time.time() - t0
 

@@ -1,0 +1,168 @@
+"""Gadget stack: MainGate rows + on-circuit Poseidon vs off-circuit sponge.
+
+The row-checker (eval_gate_mismatches) plays the MockProver role
+(SURVEY.md §4 item 4)."""
+
+import numpy as np
+import pytest
+
+from sirius_tpu.fields.constants import bn256_fr
+from sirius_tpu.frontend.runner import CircuitRunner
+from sirius_tpu.gadgets.main_gate import MainGate, RegionCtx
+from sirius_tpu.gadgets.poseidon_chip import PoseidonChip
+from sirius_tpu.ops.poseidon import PoseidonHash, poseidon_spec
+from sirius_tpu.plonk.satisfy import eval_gate_mismatches, is_sat_perm
+from sirius_tpu.plonk.structure import PlonkWitness
+from sirius_tpu.plonk.sps import _concat_with_padding
+
+P = bn256_fr.modulus
+
+
+def check_rows(runner, S):
+    """MockProver equivalent: zero violations of the compressed gate."""
+    W = runner.collect_witness()
+    w_dev = _concat_with_padding(S.field, W, S.n)
+    mism = eval_gate_mismatches(S, [0] * S.num_challenges, PlonkWitness([w_dev]))
+    bad = np.nonzero(np.asarray(mism))[0].tolist()
+    assert not bad, f"unsatisfied rows: {bad[:10]}"
+
+
+class ArithmeticCircuit:
+    """Exercises add/sub/mul/pow5/rlc/select/is_zero helpers."""
+
+    def configure(self, cs):
+        cfg = MainGate.configure(cs, T=5)
+        inst = cs.instance_column()
+        return cfg, inst
+
+    def synthesize(self, config, asn):
+        cfg, inst = config
+        mg = MainGate(cfg, asn.p)
+        ctx = RegionCtx(asn)
+        a = mg.assign_value(ctx, 17)
+        b = mg.assign_value(ctx, 29)
+        s = mg.add(ctx, a, b)
+        d = mg.sub(ctx, s, a)  # == b
+        m = mg.mul(ctx, a, b)
+        p5 = mg.pow5(ctx, a)
+        rlc = mg.random_linear_combination(ctx, [1, 2, 3], 10)  # 123
+        one = mg.assign_constant(ctx, 1)
+        mg.assert_bit(ctx, one)
+        sel = mg.conditional_select(ctx, one, a, b)  # == a
+        z = mg.is_zero_term(ctx, mg.sub(ctx, d, b))  # d-b == 0 -> z = 1
+        assert d.value == 29 and m.value == 17 * 29 % asn.p
+        assert p5.value == pow(17, 5, asn.p)
+        assert rlc.value == 123
+        assert sel.value == 17 and z.value == 1
+        asn.copy(rlc.column, rlc.row, inst, 0)
+
+    def instances(self):
+        return [[123, 0]]
+
+
+def test_main_gate_helpers():
+    c = ArithmeticCircuit()
+    runner = CircuitRunner(6, bn256_fr, c, c.instances())
+    S = runner.collect_plonk_structure()
+    check_rows(runner, S)
+    # permutation check through the copy constraint to the instance
+    from sirius_tpu.plonk.structure import PlonkInstance
+
+    W = runner.collect_witness()
+    w_dev = _concat_with_padding(S.field, W, S.n)
+    is_sat_perm(S, PlonkInstance([], c.instances(), []), PlonkWitness([w_dev]))
+
+
+class HashCircuit:
+    """Absorb two witnessed values + one constant, squeeze, expose."""
+
+    def __init__(self, x, y):
+        self.x, self.y = x, y
+
+    def configure(self, cs):
+        cfg = MainGate.configure(cs, T=5)
+        inst = cs.instance_column()
+        return cfg, inst
+
+    def synthesize(self, config, asn):
+        cfg, inst = config
+        mg = MainGate(cfg, asn.p)
+        spec = poseidon_spec(bn256_fr, 5, 4, 10, 10)
+        chip = PoseidonChip(mg, spec)
+        ctx = RegionCtx(asn)
+        x = mg.assign_value(ctx, self.x)
+        y = mg.assign_value(ctx, self.y)
+        out = chip.absorb_cell(x).absorb_cell(y).absorb_base(42).squeeze(ctx)
+        asn.copy(out.column, out.row, inst, 0)
+        self.out_value = out.value
+
+    def expected(self):
+        spec = poseidon_spec(bn256_fr, 5, 4, 10, 10)
+        return PoseidonHash(spec).absorb_iter([self.x, self.y, 42]).squeeze(
+            bn256_fr.num_bits
+        )
+
+
+@pytest.mark.parametrize("x,y", [(7, 11), (0, 2**200)])
+def test_poseidon_chip_matches_host(x, y):
+    c = HashCircuit(x, y)
+    expected = c.expected()
+    runner = CircuitRunner(10, bn256_fr, c, [[expected, 0]])
+    S = runner.collect_plonk_structure()
+    assert c.out_value == expected, "on-circuit != off-circuit hash"
+    check_rows(runner, S)
+
+
+class EccCircuit:
+    """Scalar-mul + add of grumpkin points inside a bn256_fr circuit."""
+
+    def __init__(self, k_scalar, nbits=16):
+        self.k_scalar = k_scalar
+        self.nbits = nbits
+
+    def configure(self, cs):
+        cfg = MainGate.configure(cs, T=5)
+        inst = cs.instance_column()
+        return cfg, inst
+
+    def synthesize(self, config, asn):
+        from sirius_tpu.fields import gold
+        from sirius_tpu.fields.constants import grumpkin
+        from sirius_tpu.gadgets.ecc_chip import EccChip
+
+        cfg, inst = config
+        mg = MainGate(cfg, asn.p)
+        chip = EccChip(mg)
+        ctx = RegionCtx(asn)
+
+        g = gold.generator(grumpkin)
+        p_assigned = chip.assign_affine(ctx, g)
+        k_cell = mg.assign_value(ctx, self.k_scalar)
+        bits = mg.le_num_to_bits(ctx, k_cell, self.nbits)
+        res = chip.scalar_mul(ctx, p_assigned, bits)
+
+        # also exercise complete add edge cases in-circuit
+        doubled = chip.add(ctx, p_assigned, p_assigned)
+        inf = chip.add(ctx, p_assigned, chip.negate(ctx, p_assigned))
+        inf_flag = chip.is_infinity(ctx, inf)
+        assert inf_flag.value == 1
+        want_dbl = g.double()
+        assert (doubled.x.value, doubled.y.value) == (want_dbl.x, want_dbl.y)
+
+        want = g.mul(self.k_scalar)
+        assert (res.x.value, res.y.value) == (want.x, want.y), "scalar_mul wrong"
+        asn.copy(res.x.column, res.x.row, inst, 0)
+        asn.copy(res.y.column, res.y.row, inst, 1)
+        self.result = (res.x.value, res.y.value)
+
+
+def test_ecc_chip_scalar_mul():
+    from sirius_tpu.fields import gold
+    from sirius_tpu.fields.constants import grumpkin
+
+    k_scalar = 0xBEEF
+    want = gold.generator(grumpkin).mul(k_scalar)
+    c = EccCircuit(k_scalar)
+    runner = CircuitRunner(12, bn256_fr, c, [[want.x, want.y]])
+    S = runner.collect_plonk_structure()
+    check_rows(runner, S)
