@@ -117,14 +117,48 @@ def msm(curve: Curve, scalars_std: jnp.ndarray, points: Points, window_bits: int
         ]
     )
 
+    SENT = np.uint32(0xFFFFFFFF)
+    num_buckets = (1 << c) - 1
+
     def window_body(_, d_raw):
-        order = jnp.argsort(d_raw)
-        d = d_raw[order]
+        # zero digits are dead from the start (bucket 0 contributes nothing)
+        d0 = jnp.where(d_raw == 0, SENT, d_raw)
+        order = jnp.argsort(d0)
+        d = d0[order]
         P = Points(points.x[order], points.y[order], points.z[order])
-        P = curve.select(d == 0, curve.identity((n,)), P)
+        P = curve.select(d == SENT, curve.identity((n,)), P)
+
+        # --- work-efficient bucket reduction: repeatedly merge adjacent
+        # same-bucket pairs, compact dead slots by re-sorting, shrink the
+        # static size.  live <= m/2 + num_buckets + 1 per round, so total
+        # EC-add work is ~n + B*log(n) (classic Pippenger's n insertions),
+        # not the n*log(n) of a full-width scan.
+        m = n
+        while m > 2 * num_buckets + 4:
+            if m % 2:
+                d = jnp.concatenate([d, jnp.full((1,), SENT, jnp.uint32)])
+                ident1 = curve.identity((1,))
+                P = Points(*(jnp.concatenate([a, b]) for a, b in zip(P, ident1)))
+                m += 1
+            da, db = d[0::2], d[1::2]
+            Pa = Points(P.x[0::2], P.y[0::2], P.z[0::2])
+            Pb = Points(P.x[1::2], P.y[1::2], P.z[1::2])
+            same = (da == db) & (da != SENT)
+            merged = curve.select(same, curve.add(Pa, Pb), Pa)
+            leftb_d = jnp.where(same, SENT, db)
+            leftb_P = curve.select(same, curve.identity((m // 2,)), Pb)
+            new_d = jnp.concatenate([da, leftb_d])
+            new_P = Points(*(jnp.concatenate([a, b]) for a, b in zip(merged, leftb_P)))
+            new_size = min(m, m // 2 + num_buckets + 2)
+            order2 = jnp.argsort(new_d)[:new_size]
+            d = new_d[order2]
+            P = Points(new_P.x[order2], new_P.y[order2], new_P.z[order2])
+            m = new_size
+
+        # --- finish the (now small) residue with the segmented scan
         scanned = _segmented_scan_add(curve, P, d)
         vs = jnp.arange(1, 1 << c, dtype=jnp.uint32)
-        idx = jnp.clip(jnp.searchsorted(d, vs, side="right") - 1, 0, n - 1)
+        idx = jnp.clip(jnp.searchsorted(d, vs, side="right") - 1, 0, m - 1)
         seg_last = Points(scanned.x[idx], scanned.y[idx], scanned.z[idx])
         present = d[idx] == vs
         buckets = curve.select(present, seg_last, curve.identity(vs.shape))
