@@ -255,22 +255,47 @@ class MainGate:
         p = self.p
         self.apply(ctx, [a, a], q_1=[p - 1], q_m=[1, 0])
 
+    def assign_values_row(self, ctx, values: Sequence[int]) -> list[AssignedCell]:
+        """Witness up to T unconstrained values in one row."""
+        assert len(values) <= self.cfg.T
+        cells = [
+            ctx.assign_advice(self.cfg.state[i], v) for i, v in enumerate(values)
+        ]
+        ctx.next()
+        return cells
+
     def le_num_to_bits(self, ctx, a: AssignedCell, num_bits: int) -> list[AssignedCell]:
         """Decompose into little-endian bit cells; each bit-constrained, and
-        the MSB-first Horner accumulation is constrained to equal `a`
-        (reference `main_gate.rs` le_num_to_bits)."""
+        the chunked accumulation is constrained to equal `a`
+        (reference `main_gate.rs` le_num_to_bits).
+
+        Row cost ~1.5 rows/bit: T witnesses assigned per row, one
+        bit-constraint row per bit, and 4-bit recomposition chunks.
+        """
         p = self.p
+        T = self.cfg.T
         v = self._cv(a)
         bits = [(v >> i) & 1 for i in range(num_bits)]
-        bit_cells = []
-        for b in bits:
-            cell = self.assign_value(ctx, b)
+        bit_cells: list[AssignedCell] = []
+        for i in range(0, num_bits, T):
+            bit_cells.extend(self.assign_values_row(ctx, bits[i : i + T]))
+        for cell in bit_cells:
             self.assert_bit(ctx, cell)
-            bit_cells.append(cell)
+        # recompose MSB-first, T-1 bits per row: acc' = 2^(T-1) acc + chunk
         acc = self.assign_constant(ctx, 0)
-        for cell in reversed(bit_cells):
-            out = (2 * acc.value + cell.value) % p
-            acc = self.apply(ctx, [acc, cell], q_1=[2, 1], out_val=out, q_o=p - 1)
+        rev = list(reversed(bit_cells))
+        for i in range(0, len(rev), T - 1):
+            chunk = rev[i : i + T - 1]
+            cw = len(chunk)
+            coefs = [1 << (cw - 1 - j) for j in range(cw)]
+            out = (acc.value * (1 << cw) + sum(c.value * co for c, co in zip(chunk, coefs))) % p
+            acc = self.apply(
+                ctx,
+                [acc, *chunk],
+                q_1=[1 << cw, *coefs],
+                out_val=out,
+                q_o=p - 1,
+            )
         ctx.constrain_equal(acc, a)
         return bit_cells
 

@@ -166,3 +166,49 @@ def test_ecc_chip_scalar_mul():
     runner = CircuitRunner(12, bn256_fr, c, [[want.x, want.y]])
     S = runner.collect_plonk_structure()
     check_rows(runner, S)
+
+
+class BigUintCircuit:
+    """Nonnative a*b mod Fq inside an Fr circuit."""
+
+    def __init__(self, a, b):
+        self.a, self.b = a, b
+
+    def configure(self, cs):
+        return MainGate.configure(cs, T=5), cs.instance_column()
+
+    def synthesize(self, config, asn):
+        from sirius_tpu.fields.constants import bn256_fq
+        from sirius_tpu.gadgets.big_uint_chip import BigUintChip
+
+        cfg, inst = config
+        mg = MainGate(cfg, asn.p)
+        chip = BigUintChip(mg)  # 32x10 sangria geometry
+        ctx = RegionCtx(asn)
+        m = bn256_fq.modulus
+        a = chip.assign_biguint(ctx, self.a)
+        b = chip.assign_biguint(ctx, self.b)
+        q, r = chip.mult_mod(ctx, a, b, m)
+        assert r.value == self.a * self.b % m, "remainder wrong"
+        # sum + reduce path
+        s = chip.assign_sum(ctx, a, b)
+        _, s_red = chip.red_mod(ctx, s, m)
+        assert s_red.value == (self.a + self.b) % m
+        # native decomposition roundtrip
+        cell = mg.assign_value(ctx, 0x1234567890ABCDEF)
+        limbs = chip.from_assigned_cell(ctx, cell, 64)
+        native = chip.to_native_cell(ctx, limbs)
+        assert native.value == cell.value
+        self.r_value = r.value
+        asn.copy(r.limbs[0].column, r.limbs[0].row, inst, 0)
+
+
+def test_big_uint_mult_mod():
+    from sirius_tpu.fields.constants import bn256_fq
+
+    m = bn256_fq.modulus
+    a, b = 0xDEADBEEF << 200 | 0x12345, m - 12345
+    c = BigUintCircuit(a % m, b % m)
+    runner = CircuitRunner(13, bn256_fr, c, [[(a % m) * (b % m) % m & 0xFFFFFFFF, 0]])
+    S = runner.collect_plonk_structure()
+    check_rows(runner, S)
