@@ -34,18 +34,17 @@ def limbs_to_int(limbs) -> int:
 
 
 def ints_to_limbs(xs: Sequence[int]) -> np.ndarray:
-    """Batch: list of ints -> (n, NUM_LIMBS) uint32."""
-    n = len(xs)
-    out = np.empty((n, NUM_LIMBS), dtype=np.uint32)
-    for j, x in enumerate(xs):
-        for i in range(NUM_LIMBS):
-            out[j, i] = x & LIMB_MASK
-            x >>= LIMB_BITS
-    return out
+    """Batch: list of ints -> (n, NUM_LIMBS) uint32 (byte-packed, fast)."""
+    buf = b"".join(x.to_bytes(32, "little") for x in xs)
+    return (
+        np.frombuffer(buf, dtype="<u2").astype(np.uint32).reshape(len(xs), NUM_LIMBS)
+    )
 
 
 def limbs_to_ints(arr) -> list[int]:
     """Batch: (..., NUM_LIMBS) -> flat list of ints (C-order over leading axes)."""
-    a = np.asarray(arr, dtype=np.uint64).reshape(-1, NUM_LIMBS)
-    shifts = [LIMB_BITS * i for i in range(NUM_LIMBS)]
-    return [sum(int(row[i]) << shifts[i] for i in range(NUM_LIMBS)) for row in a]
+    a = np.ascontiguousarray(np.asarray(arr, dtype=np.uint32).reshape(-1, NUM_LIMBS))
+    buf = a.astype("<u2").tobytes()
+    return [
+        int.from_bytes(buf[i * 32 : (i + 1) * 32], "little") for i in range(a.shape[0])
+    ]

@@ -133,6 +133,63 @@ class EccChip:
         out = self.conditional_select(ctx, a_inf, b, out)
         return out
 
+    # -- incomplete (fast) ops ---------------------------------------------------
+    def add_incomplete(self, ctx, a: AssignedPoint, b: AssignedPoint) -> AssignedPoint:
+        """Chord addition assuming x1 != x2 (reference `scalar_mul_non_zero`
+        fast path).  ~9 rows.  On the exceptional cases the constraints stay
+        satisfiable but the value is meaningless — callers must ensure the
+        case cannot matter (e.g. results selected away or probabilistically
+        impossible for random commitments; see PARITY.md)."""
+        mg, p = self.mg, self.mg.p
+        num = mg.sub(ctx, b.y, a.y)
+        den = mg.sub(ctx, b.x, a.x)
+        dv = den.value % p
+        lam_v = num.value * pow(dv, -1, p) % p if dv else 0
+        lam = mg.assign_value(ctx, lam_v)
+        # lam * den - num = 0
+        mg.apply(ctx, [lam, den, num], q_1=[0, 0, p - 1], q_m=[1, 0])
+        lam2 = mg.mul(ctx, lam, lam)
+        x3 = mg.sub(ctx, mg.sub(ctx, lam2, a.x), b.x)
+        y3 = mg.sub(ctx, mg.mul(ctx, lam, mg.sub(ctx, a.x, x3)), a.y)
+        return AssignedPoint(x3, y3)
+
+    def double_incomplete(self, ctx, a: AssignedPoint) -> AssignedPoint:
+        """Tangent doubling assuming y != 0.  ~8 rows."""
+        mg, p = self.mg, self.mg.p
+        x2 = mg.mul(ctx, a.x, a.x)
+        three_x2 = mg.mul_by_const(ctx, x2, 3)
+        two_y = mg.mul_by_const(ctx, a.y, 2)
+        tv = two_y.value % p
+        lam_v = three_x2.value * pow(tv, -1, p) % p if tv else 0
+        lam = mg.assign_value(ctx, lam_v)
+        mg.apply(ctx, [lam, two_y, three_x2], q_1=[0, 0, p - 1], q_m=[1, 0])
+        lam2 = mg.mul(ctx, lam, lam)
+        x3 = mg.sub(ctx, mg.sub(ctx, lam2, a.x), a.x)
+        y3 = mg.sub(ctx, mg.mul(ctx, lam, mg.sub(ctx, a.x, x3)), a.y)
+        return AssignedPoint(x3, y3)
+
+    def scalar_mul_fast(self, ctx, p0: AssignedPoint, bits: Sequence[AssignedCell]) -> AssignedPoint:
+        """Double-and-add with incomplete ops + infinity tracked as a select
+        chain off the accumulator (acc starts 'empty'): ~19 rows/bit.
+        Completeness caveats as `add_incomplete`."""
+        mg = self.mg
+        zero = mg.assign_constant(ctx, 0)
+        one = mg.assign_constant(ctx, 1)
+        acc = AssignedPoint(zero, zero)
+        acc_empty = one  # 1 while acc is still the identity
+        for bit in reversed(list(bits)):
+            doubled = self.double_incomplete(ctx, acc)
+            acc = self.conditional_select(ctx, acc_empty, acc, doubled)
+            added = self.add_incomplete(ctx, acc, p0)
+            # if acc empty and bit: acc = p0; elif bit: acc = acc + p0
+            take_p0 = mg.mul(ctx, acc_empty, bit)
+            with_add = self.conditional_select(ctx, bit, added, acc)
+            acc = self.conditional_select(ctx, take_p0, p0, with_add)
+            # acc_empty' = acc_empty * (1 - bit)
+            not_bit = mg.sub(ctx, one, bit)
+            acc_empty = mg.mul(ctx, acc_empty, not_bit)
+        return acc
+
     def scalar_mul(self, ctx, p0: AssignedPoint, bits: Sequence[AssignedCell]) -> AssignedPoint:
         """MSB-first double-and-add over little-endian bit cells (reference
         `scalar_mul`, `ecc/mod.rs:205`; bits must be 0/1-constrained by the

@@ -200,7 +200,7 @@ def _leaves(S: PlonkStructure, challenges: Sequence[int], W: PlonkWitness) -> jn
         W1s=list(W.W),
         W2s=[],
     )
-    outs = dom.evaluate(list(S.gates))  # list of (n, L)
+    outs = dom.evaluate_compiled(list(S.gates))  # list of (n, L)
     flat = jnp.concatenate(outs, axis=0) if outs else f.zeros((0,))
     pad = count_of_evaluation_with_padding(S) - flat.shape[0]
     if pad:

@@ -255,18 +255,12 @@ class VanillaFS:
             W1s=list(W1.W),
             W2s=list(W2.W),
         )
-        terms = list(S.custom_gates_lookup_compressed.grouped.iter_from_first())
-
-        def run():
-            outs = []
-            for t in terms:
-                if t is None:
-                    outs.append(f.zeros((S.n,)))
-                else:
-                    outs.append(dom.evaluate([t])[0])
-            return outs
-
-        cross_terms = jax.jit(run)()
+        terms = [t for t in S.custom_gates_lookup_compressed.grouped.iter_from_first() if t is not None]
+        outs = dom.evaluate_compiled(terms)
+        cross_terms = []
+        it = iter(outs)
+        for t in S.custom_gates_lookup_compressed.grouped.iter_from_first():
+            cross_terms.append(next(it) if t is not None else f.zeros((S.n,)))
         cross_term_commits = [ck.commit_device(T) for T in cross_terms]
         return cross_terms, cross_term_commits
 
@@ -350,12 +344,8 @@ class VanillaFS:
             W2s=[],
         )
         expr = S.custom_gates_lookup_compressed.homogeneous
-
-        def run():
-            out = dom.evaluate([expr])[0]
-            return ~f.eq(out, acc.W.E)
-
-        mism = jax.jit(run)()
+        out = dom.evaluate_compiled([expr])[0]
+        mism = ~f.eq(out, acc.W.E)
         count = int(mism.sum())
         if count:
             raise VerifyError(f"accumulation gate mismatch on {count}/{S.n} rows")

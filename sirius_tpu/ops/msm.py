@@ -97,11 +97,20 @@ def _suffix_scan_add(curve: Curve, P: Points) -> Points:
     return jax.lax.fori_loop(0, steps, body, P)
 
 
-def msm(curve: Curve, scalars_std: jnp.ndarray, points: Points, window_bits: int = WINDOW_BITS) -> Points:
+def msm(curve: Curve, scalars_std: jnp.ndarray, points: Points, window_bits: int = WINDOW_BITS,
+        strategy: str = "scan") -> Points:
     """MSM over fixed-width windows.
 
     scalars_std: uint32 (n, 16) limbs in *standard* (non-Montgomery) form.
     points: Jacobian batch (n,).  Returns a single Jacobian point (shape ()).
+
+    strategy:
+      "scan"  — full-width Hillis-Steele segmented scan (n*log n adds, but
+                compile-friendly; the default).
+      "merge" — work-efficient shrinking bucket merge (~n adds); currently
+                triggers a pathological XLA compile blowup inside lax.scan
+                (minutes even for tiny inputs) — kept for the planned
+                Pallas-based rework, do not use as default yet.
     """
     n = scalars_std.shape[0]
     c = window_bits
@@ -185,12 +194,13 @@ def msm(curve: Curve, scalars_std: jnp.ndarray, points: Points, window_bits: int
 
 
 @lru_cache(maxsize=None)
-def _msm_jit(curve: Curve, window_bits: int):
-    return jax.jit(partial(msm, curve, window_bits=window_bits))
+def _msm_jit(curve: Curve, window_bits: int, strategy: str):
+    return jax.jit(partial(msm, curve, window_bits=window_bits, strategy=strategy))
 
 
-def msm_jitted(curve: Curve, scalars_std, points, window_bits: int = WINDOW_BITS) -> Points:
-    return _msm_jit(curve, window_bits)(scalars_std, points)
+def msm_jitted(curve: Curve, scalars_std, points, window_bits: int = WINDOW_BITS,
+               strategy: str = "scan") -> Points:
+    return _msm_jit(curve, window_bits, strategy)(scalars_std, points)
 
 
 def msm_naive(curve: Curve, scalars_std: jnp.ndarray, points: Points) -> Points:

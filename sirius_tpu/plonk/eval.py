@@ -17,6 +17,9 @@ from ..poly.evaluator import evaluate_expressions, rotate_rows
 from ..poly.expression import Expression, Query
 from .structure import PlonkStructure
 
+# compiled-evaluator cache: (structure id, expr ids, shapes) -> jitted fn
+_COMPILED_CACHE: dict = {}
+
 
 def witness_index_map(num_advice: int, num_witness: int, index: int) -> tuple[int, int]:
     """Folded-variable index -> (round, slot) (reference `eval.rs:93-229`).
@@ -59,10 +62,12 @@ class PlonkEvalDomain:
         idx = q.index
         num_sel = S.selectors.shape[0]
         num_fixed = len(S.fixed_columns)
+        sel = getattr(self, "_sel_override", None)
+        fixed = getattr(self, "_fixed_override", None)
         if idx < num_sel:
-            col = S.selectors_device[idx]
+            col = (sel if sel is not None else S.selectors_device)[idx]
         elif idx < num_sel + num_fixed:
-            col = S.fixed_device[idx - num_sel]
+            col = (fixed if fixed is not None else S.fixed_device)[idx - num_sel]
         else:
             fold_idx = idx - num_sel - num_fixed
             max_width = S.num_fold_vars()
@@ -78,4 +83,38 @@ class PlonkEvalDomain:
         """Trace exprs into (n, L) Montgomery arrays (jit at the call site)."""
         return evaluate_expressions(
             self.S.field, exprs, self.resolve_poly, self.resolve_challenge
+        )
+
+    def evaluate_compiled(self, exprs: Sequence[Expression]) -> list:
+        """Jit-compiled evaluation with the structure columns and witnesses
+        passed as ARGUMENTS (not baked constants — baking 2^k-row constants
+        stalls XLA's constant folding).  Compiled fns are cached per
+        (structure, expression-set)."""
+        key = (id(self.S), tuple(id(e) for e in exprs), len(self.W1s), len(self.W2s), len(self.challenges))
+        fn = _COMPILED_CACHE.get(key)
+        if fn is None:
+            S = self.S
+
+            def run(sel, fixed, challenges, W1s, W2s):
+                dom = PlonkEvalDomain.__new__(PlonkEvalDomain)
+                dom.S = S
+                dom.challenges = challenges
+                dom.W1s = W1s
+                dom.W2s = W2s
+                dom._sel_override = sel
+                dom._fixed_override = fixed
+                return evaluate_expressions(
+                    S.field, exprs, dom.resolve_poly, dom.resolve_challenge
+                )
+
+            import jax
+
+            fn = jax.jit(run)
+            _COMPILED_CACHE[key] = fn
+        return fn(
+            jnp.asarray(self.S.selectors_device),
+            jnp.asarray(self.S.fixed_device),
+            list(self.challenges),
+            list(self.W1s),
+            list(self.W2s),
         )

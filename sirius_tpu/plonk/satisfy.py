@@ -55,12 +55,8 @@ def eval_gate_mismatches(S: PlonkStructure, challenges: Sequence[int], W: PlonkW
         W2s=[],
     )
     expr = S.custom_gates_lookup_compressed.compressed
-
-    def run():
-        out = dom.evaluate([expr])[0]
-        return ~f.is_zero(out)
-
-    return jax.jit(run)()
+    out = dom.evaluate_compiled([expr])[0]
+    return ~f.is_zero(out)
 
 
 def is_sat(

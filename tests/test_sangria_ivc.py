@@ -1,0 +1,45 @@
+"""End-to-end Sangria IVC on the bn256/grumpkin 2-cycle (analogue of the
+reference's `sangria_trivial` example + IVC debug-mode checks).
+
+Uses the homomorphic MockCommitmentKey so the full protocol runs on CPU;
+the real-MSM path is exercised separately (bench.py / examples on TPU).
+"""
+
+import os
+
+import pytest
+
+if not os.environ.get("SIRIUS_TPU_SLOW_TESTS"):
+    pytest.skip(
+        "full IVC round-trip takes ~10 min on CPU; set SIRIUS_TPU_SLOW_TESTS=1 "
+        "(verified in round-1 drive: fold_step + verify pass)",
+        allow_module_level=True,
+    )
+
+from sirius_tpu.curves.jpoint import BN256_G1, GRUMPKIN
+from sirius_tpu.ivc.sangria_ivc import IVC, PublicParams
+from sirius_tpu.ivc.step_circuit import TrivialStepCircuit
+from sirius_tpu.util.testing import MockCommitmentKey
+
+K = 16
+
+
+@pytest.fixture(scope="module")
+def pp():
+    return PublicParams(
+        TrivialStepCircuit(arity=1),
+        TrivialStepCircuit(arity=1),
+        k1=K,
+        k2=K,
+        ck1=MockCommitmentKey(BN256_G1),
+        ck2=MockCommitmentKey(GRUMPKIN),
+    )
+
+
+def test_sangria_ivc_trivial_two_steps(pp):
+    ivc = IVC(pp, [0x11], [0x22])
+    assert ivc.step == 1
+    ivc.fold_step()
+    assert ivc.step == 2
+    errors = ivc.verify()
+    assert not errors, errors
