@@ -327,7 +327,7 @@ class IVC:
         # secondary accumulator starts as the *relaxation* of the pre-round
         # trace (reference `RelaxedPlonkTrace::from_regular`, ivc::new :218)
         sec_relaxed = RelaxedPlonkTrace(
-            U=RelaxedPlonkInstance.from_instance(pp.secondary.paired, sec_pre_trace.u),
+            U=RelaxedPlonkInstance.from_instance(pp.secondary.curve, sec_pre_trace.u),
             W=RelaxedPlonkWitness.from_regular(sec_pre_trace.w, pp.secondary.k, pp.secondary.S.field),
         )
 

@@ -2,19 +2,21 @@
 
 TPU-native replacement for halo2curves `best_multiexp` (reference
 `src/commitment.rs:81-90`; SURVEY.md §2.8 item 2).  Instead of the CPU
-Pippenger's sequential bucket pushes, a fully data-parallel formulation:
+Pippenger's sequential bucket pushes, a fully data-parallel formulation with
+ALL windows processed as one batched axis (wide vectors, one XLA program,
+no per-window loop):
 
-  per c-bit window (lax.scan over windows — one compiled body):
-    digits        = c-bit slice of the scalar limbs
-    sort          = argsort(digits) -> contiguous bucket segments
-    segment sums  = segmented inclusive scan (Hillis-Steele via fori_loop:
-                    log n iterations of one vectorized complete-EC-add body)
-    bucket table  = searchsorted gather of each segment's last element
-    window total  = sum_v v * B_v via suffix-scan + total-scan
-  combine windows by Horner (fori_loop, c doublings + 1 add per window).
+  digits        (W, n)  c-bit slices of the scalar limbs
+  sort          batched argsort -> contiguous bucket segments per window
+  segment sums  batched segmented inclusive scan (Hillis-Steele fori_loop:
+                log n iterations of one batched complete-EC-add body)
+  bucket table  per-window searchsorted gather of segment tails
+  window totals sum_v v * B_v via batched suffix scans
+  combine       Horner over windows (c doublings + 1 add per window)
 
-Scan bodies compile once; the whole MSM is a single XLA program.  Rows shard
-over the mesh axis for multi-chip (see parallel/).
+Work is n*log n EC adds (the Hillis-Steele trade-off: a compile-friendly,
+fusion-friendly single program); the work-efficient merge path that reaches
+classic Pippenger's ~n adds is tracked for a Pallas rework (PARITY.md).
 """
 
 from __future__ import annotations
@@ -28,179 +30,115 @@ import numpy as np
 from ..curves.jpoint import Curve, Points
 from ..fields.constants import LIMB_BITS, NUM_LIMBS
 
-WINDOW_BITS = LIMB_BITS  # default window = one 16-bit storage limb
+WINDOW_BITS = 8  # default window width (255 buckets; good CPU/TPU balance)
+
+SENT = np.uint32(0xFFFFFFFF)
 
 
-def _shifted(P: Points, ident: Points, shift) -> Points:
-    """P[i - shift] with identity fill for i < shift (shift may be traced)."""
-    n = P.x.shape[0]
+def _roll_fill(P: Points, ident: Points, shift, axis: int, forward: bool):
+    """Shift points along `axis` by `shift`, filling vacated slots with
+    identity.  forward=True gives P[i - shift] (prefix direction)."""
+    n = P.x.shape[axis]
     idx = jnp.arange(n)
-    rolled = Points(
-        jnp.roll(P.x, shift, axis=0),
-        jnp.roll(P.y, shift, axis=0),
-        jnp.roll(P.z, shift, axis=0),
-    )
-    keep = (idx >= shift)[:, None]
-    return Points(
-        jnp.where(keep, rolled.x, ident.x),
-        jnp.where(keep, rolled.y, ident.y),
-        jnp.where(keep, rolled.z, ident.z),
-    )
+    sh = shift if forward else -shift
+    rolled = Points(*(jnp.roll(c, sh, axis=axis) for c in P))
+    keep1d = (idx >= shift) if forward else (idx < n - shift)
+    shape = [1] * P.x.ndim
+    shape[axis] = n
+    keep = keep1d.reshape(shape)
+    return Points(*(jnp.where(keep, r, i) for r, i in zip(rolled, ident)))
 
 
-def _segmented_scan_add(curve: Curve, P: Points, seg: jnp.ndarray) -> Points:
-    """Inclusive segmented scan of EC adds over sorted segment ids.
-
-    Hillis-Steele: log2(n) rounds of one vectorized complete add; the body
-    compiles once (shift is a traced value)."""
-    n = P.x.shape[0]
-    ident = curve.identity((n,))
-    steps = max((n - 1).bit_length(), 1)
-    idx = jnp.arange(n)
-
-    def body(j, carry):
-        P = carry
-        shift = jnp.int32(1) << j
-        Pprev = _shifted(P, ident, shift)
-        seg_prev = jnp.roll(seg, shift, axis=0)
-        same = (idx >= shift) & (seg_prev == seg)
-        combined = curve.add(P, Pprev)
-        return curve.select(same, combined, P)
-
-    return jax.lax.fori_loop(0, steps, body, P)
-
-
-def _suffix_scan_add(curve: Curve, P: Points) -> Points:
-    """S[i] = sum_{j >= i} P[j] (inclusive suffix sums)."""
-    n = P.x.shape[0]
-    ident = curve.identity((n,))
-    steps = max((n - 1).bit_length(), 1)
-    idx = jnp.arange(n)
-
-    def body(j, carry):
-        P = carry
-        shift = jnp.int32(1) << j
-        # P[i + shift] with identity fill for i >= n - shift
-        rolled = Points(
-            jnp.roll(P.x, -shift, axis=0),
-            jnp.roll(P.y, -shift, axis=0),
-            jnp.roll(P.z, -shift, axis=0),
-        )
-        keep = (idx < n - shift)[:, None]
-        Pnext = Points(
-            jnp.where(keep, rolled.x, ident.x),
-            jnp.where(keep, rolled.y, ident.y),
-            jnp.where(keep, rolled.z, ident.z),
-        )
-        return curve.add(P, Pnext)
-
-    return jax.lax.fori_loop(0, steps, body, P)
-
-
-def msm(curve: Curve, scalars_std: jnp.ndarray, points: Points, window_bits: int = WINDOW_BITS,
-        strategy: str = "scan") -> Points:
-    """MSM over fixed-width windows.
+def msm(curve: Curve, scalars_std: jnp.ndarray, points: Points, window_bits: int = WINDOW_BITS) -> Points:
+    """MSM over fixed-width windows (batched across windows).
 
     scalars_std: uint32 (n, 16) limbs in *standard* (non-Montgomery) form.
     points: Jacobian batch (n,).  Returns a single Jacobian point (shape ()).
-
-    strategy:
-      "scan"  — full-width Hillis-Steele segmented scan (n*log n adds, but
-                compile-friendly; the default).
-      "merge" — work-efficient shrinking bucket merge (~n adds); currently
-                triggers a pathological XLA compile blowup inside lax.scan
-                (minutes even for tiny inputs) — kept for the planned
-                Pallas-based rework, do not use as default yet.
     """
     n = scalars_std.shape[0]
     c = window_bits
     assert LIMB_BITS % c == 0
-    num_windows = (NUM_LIMBS * LIMB_BITS) // c
+    W = (NUM_LIMBS * LIMB_BITS) // c
     cmask = np.uint32((1 << c) - 1)
+    B = (1 << c) - 1
 
-    # (num_windows, n) digit matrix
+    # (W, n) digit matrix; dead (zero) digits get the sort-last sentinel
     digits = jnp.stack(
         [
             (scalars_std[:, (w * c) // LIMB_BITS] >> ((w * c) % LIMB_BITS)) & cmask
-            for w in range(num_windows)
+            for w in range(W)
         ]
     )
+    d0 = jnp.where(digits == 0, SENT, digits)
+    order = jnp.argsort(d0, axis=1)  # (W, n)
+    d = jnp.take_along_axis(d0, order, axis=1)
+    P = Points(points.x[order], points.y[order], points.z[order])  # (W, n, L)
+    identWn = curve.identity((W, n))
+    dead = (d == SENT)[..., None]
+    P = Points(*(jnp.where(dead, i, p) for i, p in zip(identWn, P)))
 
-    SENT = np.uint32(0xFFFFFFFF)
-    num_buckets = (1 << c) - 1
+    # --- batched segmented inclusive scan (per window) over axis 1
+    steps = max((n - 1).bit_length(), 1)
+    row = jnp.arange(n)[None, :]
 
-    def window_body(_, d_raw):
-        # zero digits are dead from the start (bucket 0 contributes nothing)
-        d0 = jnp.where(d_raw == 0, SENT, d_raw)
-        order = jnp.argsort(d0)
-        d = d0[order]
-        P = Points(points.x[order], points.y[order], points.z[order])
-        P = curve.select(d == SENT, curve.identity((n,)), P)
+    def seg_body(j, carry):
+        Pc = carry
+        shift = jnp.int32(1) << j
+        Pprev = _roll_fill(Pc, identWn, shift, axis=1, forward=True)
+        d_prev = jnp.roll(d, shift, axis=1)
+        same = (row >= shift) & (d_prev == d)
+        combined = curve.add(Pc, Pprev)
+        return curve.select(same, combined, Pc)
 
-        # --- work-efficient bucket reduction: repeatedly merge adjacent
-        # same-bucket pairs, compact dead slots by re-sorting, shrink the
-        # static size.  live <= m/2 + num_buckets + 1 per round, so total
-        # EC-add work is ~n + B*log(n) (classic Pippenger's n insertions),
-        # not the n*log(n) of a full-width scan.
-        m = n
-        while m > 2 * num_buckets + 4:
-            if m % 2:
-                d = jnp.concatenate([d, jnp.full((1,), SENT, jnp.uint32)])
-                ident1 = curve.identity((1,))
-                P = Points(*(jnp.concatenate([a, b]) for a, b in zip(P, ident1)))
-                m += 1
-            da, db = d[0::2], d[1::2]
-            Pa = Points(P.x[0::2], P.y[0::2], P.z[0::2])
-            Pb = Points(P.x[1::2], P.y[1::2], P.z[1::2])
-            same = (da == db) & (da != SENT)
-            merged = curve.select(same, curve.add(Pa, Pb), Pa)
-            leftb_d = jnp.where(same, SENT, db)
-            leftb_P = curve.select(same, curve.identity((m // 2,)), Pb)
-            new_d = jnp.concatenate([da, leftb_d])
-            new_P = Points(*(jnp.concatenate([a, b]) for a, b in zip(merged, leftb_P)))
-            new_size = min(m, m // 2 + num_buckets + 2)
-            order2 = jnp.argsort(new_d)[:new_size]
-            d = new_d[order2]
-            P = Points(new_P.x[order2], new_P.y[order2], new_P.z[order2])
-            m = new_size
+    scanned = jax.lax.fori_loop(0, steps, seg_body, P)
 
-        # --- finish the (now small) residue with the segmented scan
-        scanned = _segmented_scan_add(curve, P, d)
-        vs = jnp.arange(1, 1 << c, dtype=jnp.uint32)
-        idx = jnp.clip(jnp.searchsorted(d, vs, side="right") - 1, 0, m - 1)
-        seg_last = Points(scanned.x[idx], scanned.y[idx], scanned.z[idx])
-        present = d[idx] == vs
-        buckets = curve.select(present, seg_last, curve.identity(vs.shape))
-        # sum_v v*B_v: suffix sums S_j then sum_j S_j (= element 0 of a
-        # second suffix scan)
-        suffix = _suffix_scan_add(curve, buckets)
-        total_scan = _suffix_scan_add(curve, suffix)
-        total = Points(total_scan.x[0], total_scan.y[0], total_scan.z[0])
-        return None, total
+    # --- bucket tails: per-window searchsorted over the sorted digits
+    vs = jnp.arange(1, 1 << c, dtype=jnp.uint32)
+    idx = jax.vmap(lambda dd: jnp.searchsorted(dd, vs, side="right"))(d) - 1
+    idx = jnp.clip(idx, 0, n - 1)  # (W, B)
+    tails = Points(
+        jnp.take_along_axis(scanned.x, idx[..., None], axis=1),
+        jnp.take_along_axis(scanned.y, idx[..., None], axis=1),
+        jnp.take_along_axis(scanned.z, idx[..., None], axis=1),
+    )
+    present = jnp.take_along_axis(d, idx, axis=1) == vs[None, :]
+    identWB = curve.identity((W, B))
+    buckets = curve.select(present, tails, identWB)
 
-    _, totals = jax.lax.scan(window_body, None, digits)
+    # --- window totals: sum_v v*B_v = sum of suffix sums; two batched
+    # suffix scans, element 0 of the second is the total
+    bsteps = max((B - 1).bit_length(), 1)
 
-    # Horner from the most significant window down
+    def suf_body(j, carry):
+        Pc = carry
+        shift = jnp.int32(1) << j
+        Pnext = _roll_fill(Pc, identWB, shift, axis=1, forward=False)
+        return curve.add(Pc, Pnext)
+
+    suffix = jax.lax.fori_loop(0, bsteps, suf_body, buckets)
+    total_scan = jax.lax.fori_loop(0, bsteps, suf_body, suffix)
+    totals = Points(total_scan.x[:, 0], total_scan.y[:, 0], total_scan.z[:, 0])  # (W,)
+
+    # --- Horner over windows, most significant first
     acc = Points(totals.x[-1], totals.y[-1], totals.z[-1])
 
     def horner_body(i, acc):
-        w = num_windows - 2 - i
+        w = W - 2 - i
         acc = jax.lax.fori_loop(0, c, lambda _, a: curve.dbl(a), acc)
         return curve.add(acc, Points(totals.x[w], totals.y[w], totals.z[w]))
 
-    if num_windows > 1:
-        acc = jax.lax.fori_loop(0, num_windows - 1, horner_body, acc)
+    if W > 1:
+        acc = jax.lax.fori_loop(0, W - 1, horner_body, acc)
     return acc
 
 
 @lru_cache(maxsize=None)
-def _msm_jit(curve: Curve, window_bits: int, strategy: str):
-    return jax.jit(partial(msm, curve, window_bits=window_bits, strategy=strategy))
+def _msm_jit(curve: Curve, window_bits: int):
+    return jax.jit(partial(msm, curve, window_bits=window_bits))
 
 
-def msm_jitted(curve: Curve, scalars_std, points, window_bits: int = WINDOW_BITS,
-               strategy: str = "scan") -> Points:
-    return _msm_jit(curve, window_bits, strategy)(scalars_std, points)
+def msm_jitted(curve: Curve, scalars_std, points, window_bits: int = WINDOW_BITS, strategy: str = "scan") -> Points:
+    return _msm_jit(curve, window_bits)(scalars_std, points)
 
 
 def msm_naive(curve: Curve, scalars_std: jnp.ndarray, points: Points) -> Points:

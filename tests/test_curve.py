@@ -81,20 +81,3 @@ def test_msm_pippenger_vs_gold(n, c, rng):
     arr = jnp.asarray(ints_to_limbs(scalars))
     got = curve.decode(Points(*(cc[None] for cc in msm_jitted(curve, arr, curve.encode(pts), window_bits=c))))[0]
     assert got == gold.msm(scalars, pts)
-
-
-import os
-
-
-@pytest.mark.skipif(not os.environ.get("SIRIUS_TPU_SLOW_TESTS"), reason="merge strategy has a known XLA compile blowup (PARITY.md); scan strategy is default")
-def test_msm_merge_path_vs_gold(rng):
-    """n >> buckets so the work-efficient merge rounds actually run."""
-    curve = BN256_G1
-    n = 256
-    g = gold.generator(curve.spec)
-    pts = [g.mul(int(k)) for k in rng.integers(1, 2**62, size=n)]
-    scalars = [int(x) % curve.fs.p for x in rng.integers(0, 2**63, size=n)]
-    scalars[0] = 0
-    arr = jnp.asarray(ints_to_limbs(scalars))
-    got = curve.decode(Points(*(c[None] for c in msm_jitted(curve, arr, curve.encode(pts), window_bits=4))))[0]
-    assert got == gold.msm(scalars, pts)
