@@ -212,3 +212,88 @@ def test_big_uint_mult_mod():
     runner = CircuitRunner(13, bn256_fr, c, [[(a % m) * (b % m) % m & 0xFFFFFFFF, 0]])
     S = runner.collect_plonk_structure()
     check_rows(runner, S)
+
+
+def test_support_circuit():
+    """Cyclefold EC co-processor: p_out = l0*p0 + l1*p1 with public IO."""
+    from sirius_tpu.fields import gold
+    from sirius_tpu.fields.constants import bn256_g1, bn256_fq
+    from sirius_tpu.ivc.support_circuit import InstanceInput, SupportCircuit
+
+    g = gold.generator(bn256_g1)
+    inp = InstanceInput(g.mul(5), g.mul(9), 0xABCD, 0x1234)
+    c = SupportCircuit(inp, num_bits=16)
+    instances = [inp.into_instance(bn256_fq.modulus)]
+    runner = CircuitRunner(12, bn256_fq, c, instances)
+    S = runner.collect_plonk_structure()
+    want = inp.p_out()
+    assert c.out_value == (want.x, want.y)
+    check_rows(runner, S)
+    # permutation links every IO value to the instance column
+    from sirius_tpu.plonk.structure import PlonkInstance
+
+    W = runner.collect_witness()
+    w_dev = _concat_with_padding(S.field, W, S.n)
+    is_sat_perm(S, PlonkInstance([], instances, []), PlonkWitness([w_dev]))
+
+
+def test_protogalaxy_verify_chip_matches_off_circuit():
+    """On-circuit PG verifier folds to the same accumulator instance as the
+    off-circuit `ProtoGalaxy.verify` (native-field transcript parity)."""
+    import sys
+    sys.path.insert(0, "tests")
+    from fixtures import SquareCircuit
+    from sirius_tpu.fields import gold
+    from sirius_tpu.fields.constants import bn256_g1
+    from sirius_tpu.curves.jpoint import BN256_G1
+    from sirius_tpu.nifs.protogalaxy import AccumulatorInstance, ProtoGalaxy
+    from sirius_tpu.ops.commitment import CommitmentKey
+    from sirius_tpu.ops.poseidon import PoseidonHash, poseidon_spec
+    from sirius_tpu.plonk.sps import run_sps_protocol
+    from sirius_tpu.gadgets.protogalaxy_chip import ProtoGalaxyVerifyChip
+
+    spec = poseidon_spec(bn256_fr, 3, 2, 4, 3)
+    ck = CommitmentKey.setup(BN256_G1, 7, b"pg-test", use_cache=True, window_bits=4)
+
+    c = SquareCircuit(3)
+    inst = c.instances(bn256_fr.modulus)
+    runner = CircuitRunner(4, bn256_fr, c, inst)
+    S = runner.collect_plonk_structure()
+    tr = run_sps_protocol(S, ck, inst, runner.collect_witness(), PoseidonHash(spec))
+
+    pp, vp = ProtoGalaxy.setup_params(gold.identity(bn256_g1), S)
+    acc = ProtoGalaxy.new_accumulator(pp, PoseidonHash(spec), tr, bn256_g1)
+    new_acc, proof = ProtoGalaxy.prove(ck, pp, PoseidonHash(spec), acc, [tr])
+    off = ProtoGalaxy.verify(
+        vp, bn256_fr, PoseidonHash(spec), PoseidonHash(spec),
+        AccumulatorInstance.from_acc(acc), [tr.u], proof,
+    )
+
+    class ChipCircuit:
+        def configure(self, cs):
+            return MainGate.configure(cs, T=5), cs.instance_column()
+
+        def synthesize(self, config, asn):
+            cfg, inst_col = config
+            mg = MainGate(cfg, asn.p)
+            chip = ProtoGalaxyVerifyChip(mg, spec)
+            ctx = RegionCtx(asn)
+            pp0 = mg.assign_constant(ctx, 0)
+            a_acc = chip.assign_accumulator(ctx, AccumulatorInstance.from_acc(acc))
+            a_in = [chip.assign_instance(ctx, tr.u)]
+            pF, pK = chip.assign_proof(ctx, proof)
+            folded, ls = chip.verify(ctx, bn256_fr, (pp0, pp0), a_acc, a_in, pF, pK)
+            self.result = folded
+            asn.copy(folded.e.column, folded.e.row, inst_col, 0)
+
+    cc = ChipCircuit()
+    runner2 = CircuitRunner(13, bn256_fr, cc, [[off.e % bn256_fr.modulus, 0]])
+    S2 = runner2.collect_plonk_structure()
+    check_rows(runner2, S2)
+    got = cc.result
+    p = bn256_fr.modulus
+    assert got.e.value == off.e % p
+    assert [b.value for b in got.betas] == [b % p for b in off.betas]
+    assert [[v.value for v in row] for row in got.ins.instances] == [
+        [v % p for v in row] for row in off.ins.instances
+    ]
