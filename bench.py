@@ -32,7 +32,7 @@ def main():
     from sirius_tpu.fields import gold
     from sirius_tpu.fields.limb import ints_to_limbs
     from sirius_tpu.ops.commitment import CommitmentKey
-    from sirius_tpu.ops.msm import msm_jitted
+    from sirius_tpu.ops.msm import msm_host
 
     curve = BN256_G1
     backend = jax.default_backend()
@@ -51,21 +51,18 @@ def main():
 
     # correctness spot-check on a small prefix with the same kernel config
     m = 32
-    small = msm_jitted(
+    got = msm_host(
         curve, arr[:m], Points(ck.points.x[:m], ck.points.y[:m], ck.points.z[:m]), window_bits
     )
-    got = curve.decode(Points(*(c[None] for c in small)))[0]
     prefix_pts = curve.decode(Points(ck.points.x[:m], ck.points.y[:m], ck.points.z[:m]))
     want = gold.msm(scalars[:m], prefix_pts)
     assert got == want, "MSM kernel disagrees with gold model"
 
     # compile + warmup
-    res = msm_jitted(curve, arr, ck.points, window_bits)
-    res.x.block_until_ready()
+    msm_host(curve, arr, ck.points, window_bits)
     # timed run
     t0 = time.time()
-    res = msm_jitted(curve, arr, ck.points, window_bits)
-    res.x.block_until_ready()
+    msm_host(curve, arr, ck.points, window_bits)
     dt = time.time() - t0
 
     value = n / dt

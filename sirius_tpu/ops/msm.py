@@ -141,6 +141,89 @@ def msm_jitted(curve: Curve, scalars_std, points, window_bits: int = WINDOW_BITS
     return _msm_jit(curve, window_bits)(scalars_std, points)
 
 
+# ---------------------------------------------------------------------------
+# Sequential-window driver: one jitted window kernel called per window from
+# the host (calls pipeline asynchronously on device).  The per-window working
+# set (n-wide) stays cache/VMEM-local — ~3-4x faster than the fully batched
+# graph on TPU — and there is exactly ONE kernel compile per (n, c).
+# ---------------------------------------------------------------------------
+
+
+def _window_total(curve: Curve, c: int, d0: jnp.ndarray, points: Points) -> Points:
+    """Total = sum_v v*B_v for one window; d0 has SENT for dead digits."""
+    n = d0.shape[0]
+    B = (1 << c) - 1
+    order = jnp.argsort(d0)
+    d = d0[order]
+    P = Points(points.x[order], points.y[order], points.z[order])
+    ident = curve.identity((n,))
+    dead = (d == SENT)[:, None]
+    P = Points(*(jnp.where(dead, i, p) for i, p in zip(ident, P)))
+
+    steps = max((n - 1).bit_length(), 1)
+    row = jnp.arange(n)
+
+    def seg_body(j, Pc):
+        shift = jnp.int32(1) << j
+        Pprev = _roll_fill(Pc, ident, shift, axis=0, forward=True)
+        d_prev = jnp.roll(d, shift, axis=0)
+        same = (row >= shift) & (d_prev == d)
+        return curve.select(same, curve.add(Pc, Pprev), Pc)
+
+    scanned = jax.lax.fori_loop(0, steps, seg_body, P)
+
+    vs = jnp.arange(1, 1 << c, dtype=jnp.uint32)
+    idx = jnp.clip(jnp.searchsorted(d, vs, side="right") - 1, 0, n - 1)
+    tails = Points(scanned.x[idx], scanned.y[idx], scanned.z[idx])
+    present = d[idx] == vs
+    identB = curve.identity((B,))
+    buckets = curve.select(present, tails, identB)
+
+    bsteps = max((B - 1).bit_length(), 1)
+
+    def suf_body(j, Pc):
+        shift = jnp.int32(1) << j
+        Pnext = _roll_fill(Pc, identB, shift, axis=0, forward=False)
+        return curve.add(Pc, Pnext)
+
+    suffix = jax.lax.fori_loop(0, bsteps, suf_body, buckets)
+    total_scan = jax.lax.fori_loop(0, bsteps, suf_body, suffix)
+    return Points(total_scan.x[0], total_scan.y[0], total_scan.z[0])
+
+
+@lru_cache(maxsize=None)
+def _window_total_jit(curve: Curve, window_bits: int):
+    return jax.jit(partial(_window_total, curve, window_bits))
+
+
+def msm_host(curve: Curve, scalars_std: jnp.ndarray, points: Points, window_bits: int = WINDOW_BITS):
+    """MSM with per-window device kernels + host Horner combine.
+
+    Returns a host gold.AffinePoint (the form every commit consumer wants).
+    """
+    from ..fields import gold
+
+    c = window_bits
+    W = (NUM_LIMBS * LIMB_BITS) // c
+    cmask = np.uint32((1 << c) - 1)
+    kern = _window_total_jit(curve, c)
+
+    totals_dev = []
+    for w in range(W):
+        digits = (scalars_std[:, (w * c) // LIMB_BITS] >> ((w * c) % LIMB_BITS)) & cmask
+        d0 = jnp.where(digits == 0, SENT, digits)
+        totals_dev.append(kern(d0, points))  # async; calls pipeline on device
+
+    stacked = Points(*(jnp.stack([t[i] for t in totals_dev]) for i in range(3)))
+    affine = curve.decode(stacked)
+    acc = affine[-1]
+    for w in range(W - 2, -1, -1):
+        for _ in range(c):
+            acc = acc.double()
+        acc = acc.add(affine[w])
+    return acc
+
+
 def msm_naive(curve: Curve, scalars_std: jnp.ndarray, points: Points) -> Points:
     """Binary double-and-add reference kernel (for tests / tiny inputs)."""
     nbits = 16 * NUM_LIMBS
