@@ -54,3 +54,23 @@ def test_pasta_fft(rng):
     ctx = ntt_ctx(pasta_fp, 4)
     xs = [int(x) for x in rng.integers(0, 2**62, size=16)]
     assert PASTA_FP.decode(ctx.fft(PASTA_FP.encode(xs))) == gold.fft(xs, pasta_fp)
+
+
+def test_sharded_fft_multichip():
+    """NTT jitted over an 8-device rows mesh: XLA/GSPMD inserts the
+    inter-stage exchanges (SURVEY.md §2.8 'NTT stage all-to-all')."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from sirius_tpu.parallel.mesh import make_mesh
+
+    k = 7
+    ctx = ntt_ctx(bn256_fr, k)
+    xs = [int(x) for x in np.random.default_rng(5).integers(0, 2**62, size=1 << k)]
+    a = FR.encode(xs)
+
+    mesh = make_mesh(8)
+    sh = NamedSharding(mesh, P("rows", None))
+    a_sharded = jax.device_put(a, sh)
+    out = jax.jit(ctx._fft_impl, static_argnames=("inverse",), in_shardings=(sh,), out_shardings=sh)(a_sharded)
+    assert FR.decode(out) == gold.fft(xs, bn256_fr)
