@@ -1,0 +1,546 @@
+"""Cyclefold IVC: ProtoGalaxy on the primary curve + a Sangria-folded EC
+support circuit on the secondary curve.
+
+Replaces reference `src/ivc/cyclefold/` (SURVEY.md §2.6, call stack §3.4):
+
+  next(z_i):
+    1. ProtoGalaxy::prove(primary_acc, [primary_trace])   (off-circuit)
+    2. extract gamma; [l0, l1] = L(gamma)
+    3. delegate W_new = l0*W_acc + l1*W_inc to the support circuit on CSup,
+       Sangria-fold the support trace into the support accumulator
+    4. synthesize the cyclefold SFC (field = C1::Scalar):
+         - on-circuit ProtoGalaxy verify (native field)     [PG chip]
+         - on-circuit Sangria fold of the support instance  [fold chip,
+           native ECC on CSup points]
+         - delegation consistency: the support instance's public IO must
+           equal the PG instance's W limbs / l0 / l1 / folded W limbs
+         - input/output consistency markers
+    5. SPS the new primary trace
+
+Round-1 scope: single W commitment per trace (no-lookup step circuits),
+MARKERS_LEN = 2 on the primary instance, support instance column of 8.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Sequence
+
+from ..fields import gold
+from ..fields.constants import CurveSpec, FieldSpec, bn256_fq, bn256_fr, bn256_g1, grumpkin
+from ..frontend.circuit import ConstraintSystemBuilder
+from ..frontend.runner import CircuitRunner
+from ..gadgets.big_uint_chip import BigUintChip
+from ..gadgets.fold_chip import FoldRelaxedPlonkInstanceChip
+from ..gadgets.main_gate import AssignedCell, MainGate, RegionCtx
+from ..gadgets.poseidon_chip import PoseidonChip
+from ..gadgets.protogalaxy_chip import ProtoGalaxyVerifyChip
+from ..nifs import protogalaxy as pg
+from ..nifs import sangria as sg
+from ..ops.poseidon import PoseidonHash
+from ..plonk.sps import run_sps_protocol
+from ..plonk.structure import PlonkInstance, PlonkTrace
+from ..poly import lagrange
+from ..util.digest import digest_ints_to_bits, into_curve_from_bits, structure_digest_stream
+from ..util.ro import MAX_BITS, NUM_CHALLENGE_BITS
+from .sangria_ivc import default_ro_spec
+from .step_circuit import StepCircuit
+from .support_circuit import InstanceInput, SupportCircuit
+
+SUPPORT_K = 14
+SUPPORT_IO = 8
+
+
+# ---------------------------------------------------------------------------
+# Off-circuit marker hash for cyclefold (our canonical absorb order; the
+# on-circuit mirror below follows it cell-for-cell)
+# ---------------------------------------------------------------------------
+
+
+def cyclefold_marker(
+    spec: FieldSpec,
+    pp_digest: tuple[int, int],
+    step: int,
+    z_0: Sequence[int],
+    z_i: Sequence[int],
+    self_acc: pg.AccumulatorInstance,
+    support_acc: sg.RelaxedPlonkInstance,
+) -> int:
+    p = spec.modulus
+    ro = PoseidonHash(default_ro_spec(spec))
+    ro.absorb_field(pp_digest[0] % p)
+    ro.absorb_field(pp_digest[1] % p)
+    ro.absorb_field(step % p)
+    for v in z_0:
+        ro.absorb_field(v % p)
+    for v in z_i:
+        ro.absorb_field(v % p)
+    # PG accumulator: W limbs, instances, challenges, betas, e (all native)
+    pg.absorb_instance(ro, self_acc.ins, p)
+    for b in self_acc.betas:
+        ro.absorb_field(b % p)
+    ro.absorb_field(self_acc.e % p)
+    # support (sangria) accumulator over CSup: native point coords + bignum
+    # casts — same shape as the sangria relaxed absorb
+    support_acc.absorb_into(ro, p)
+    return ro.squeeze(NUM_CHALLENGE_BITS) % p
+
+
+# ---------------------------------------------------------------------------
+# The cyclefold step-folding circuit (primary side)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class CyclefoldStepInputs:
+    step: int
+    pp_digest: tuple[int, int]
+    z_0: list[int]
+    z_i: list[int]
+    self_acc: pg.AccumulatorInstance  # PG accumulator (instances only)
+    self_incoming: PlonkInstance  # previous primary trace instance
+    proof: pg.Proof
+    support_acc: sg.RelaxedPlonkInstance  # sangria acc of support traces (CSup)
+    support_incoming: PlonkInstance  # this step's support trace instance
+    support_cross_commits: list  # grumpkin points
+
+
+class CyclefoldSFC:
+    """Reference `src/ivc/cyclefold/sfc/` (simplified layout, same checks)."""
+
+    def __init__(self, step_circuit: StepCircuit, inputs: CyclefoldStepInputs, field_spec: FieldSpec):
+        self.sc = step_circuit
+        self.inp = inputs
+        self.spec = field_spec
+        self.x1_value: Optional[int] = None
+
+    def configure(self, cs: ConstraintSystemBuilder):
+        mg_cfg = MainGate.configure(cs, T=5)
+        inst = cs.instance_column()
+        sc_cfg = self.sc.configure(cs)
+        return (mg_cfg, inst, sc_cfg)
+
+    def _marker_hash(self, ctx, mg, pg_chip, fold_chip, pp, step_cell, z_0, z_i, acc_assigned, support_assigned):
+        """On-circuit mirror of `cyclefold_marker`."""
+        ro = PoseidonChip(mg, default_ro_spec(self.spec))
+        ro.absorb_cell(pp[0])
+        ro.absorb_cell(pp[1])
+        ro.absorb_cell(step_cell)
+        ro.absorb_iter(z_0)
+        ro.absorb_iter(z_i)
+        pg_chip._absorb_instance(ro, acc_assigned.ins)
+        ro.absorb_iter(acc_assigned.betas)
+        ro.absorb_cell(acc_assigned.e)
+        fold_chip.absorb_relaxed(ro, ctx, support_assigned)
+        out = ro.squeeze(ctx)
+        bits = mg.le_num_to_bits(ctx, out, mg.p.bit_length())
+        return mg.le_bits_to_num(ctx, bits[:NUM_CHALLENGE_BITS])
+
+    def synthesize(self, config, asn):
+        mg_cfg, inst, sc_cfg = config
+        mg = MainGate(mg_cfg, asn.p)
+        inp = self.inp
+        spec = self.spec
+        ro_spec = default_ro_spec(spec)
+        pg_chip = ProtoGalaxyVerifyChip(mg, ro_spec)
+        # support instances live in CSup::Scalar (= Fq): carried as 32x10
+        # nonnative limbs (reference uses 64x20; geometry is internal to the
+        # fold arithmetic and 32x10 costs 4x fewer rows — PARITY.md)
+        bn = BigUintChip(mg)
+        fold_chip = FoldRelaxedPlonkInstanceChip(mg, ro_spec, grumpkin, bn)
+        ctx = RegionCtx(asn)
+
+        pp0 = mg.assign_value(ctx, inp.pp_digest[0])
+        pp1 = mg.assign_value(ctx, inp.pp_digest[1])
+        step_cell = mg.assign_value(ctx, inp.step)
+        z_0 = [mg.assign_value(ctx, v) for v in inp.z_0]
+        z_i = [mg.assign_value(ctx, v) for v in inp.z_i]
+
+        acc_assigned = pg_chip.assign_accumulator(ctx, inp.self_acc)
+        incoming_assigned = pg_chip.assign_instance(ctx, inp.self_incoming)
+        pF, pK = pg_chip.assign_proof(ctx, inp.proof)
+        support_acc_assigned = fold_chip.assign_relaxed(ctx, inp.support_acc)
+        support_in_assigned = fold_chip.assign_incoming(ctx, inp.support_incoming)
+        support_T_assigned = [
+            fold_chip.ecc.assign_affine(ctx, t) for t in inp.support_cross_commits
+        ]
+
+        is_zero_step = mg.is_zero_term(ctx, step_cell)
+
+        # --- input marker check (bypassed at base case)
+        computed_x0 = self._marker_hash(
+            ctx, mg, pg_chip, fold_chip, (pp0, pp1), step_cell, z_0, z_i,
+            acc_assigned, support_acc_assigned,
+        )
+        u_markers = incoming_assigned.instances[0]
+        expected = mg.conditional_select(ctx, is_zero_step, u_markers[0], computed_x0)
+        ctx.constrain_equal(expected, u_markers[0])
+
+        # --- on-circuit ProtoGalaxy verify
+        folded_acc, ls = pg_chip.verify(
+            ctx, spec, (pp0, pp1), acc_assigned, [incoming_assigned], pF, pK
+        )
+
+        # --- delegation consistency: the support instance's public IO binds
+        # p0 = acc W, p1 = incoming W, scalars = (l0, l1), p_out = new W.
+        # Support IO values live in Fq; their limb decompositions must match
+        # the PG instance's W limbs, and l0/l1 recompose to the L(gamma)
+        # cells natively.
+        sup = support_in_assigned.markers  # 8 BigUintCells
+        for limb_a, limb_b in zip(sup[0].limbs + sup[1].limbs,
+                                  acc_assigned.ins.W_commitments[0].x + acc_assigned.ins.W_commitments[0].y):
+            ctx.constrain_equal(limb_a, limb_b)
+        for limb_a, limb_b in zip(sup[2].limbs + sup[3].limbs,
+                                  incoming_assigned.W_commitments[0].x + incoming_assigned.W_commitments[0].y):
+            ctx.constrain_equal(limb_a, limb_b)
+        l0_native = bn.to_native_cell(ctx, sup[4])
+        l1_native = bn.to_native_cell(ctx, sup[5])
+        exp_l0 = mg.conditional_select(ctx, is_zero_step, l0_native, ls[0])
+        exp_l1 = mg.conditional_select(ctx, is_zero_step, l1_native, ls[1])
+        ctx.constrain_equal(exp_l0, l0_native)
+        ctx.constrain_equal(exp_l1, l1_native)
+        # new W limbs adopted from the support output
+        new_W = type(acc_assigned.ins.W_commitments[0])(sup[6].limbs, sup[7].limbs)
+        folded_acc.ins.W_commitments = [new_W]
+
+        # --- on-circuit Sangria fold of the support instance (native ECC)
+        folded_support, _r = fold_chip.fold(
+            ctx, support_acc_assigned, support_in_assigned, support_T_assigned, (pp0, pp1)
+        )
+
+        # --- base-case selects
+        def sel_cells(a, b):
+            return mg.conditional_select(ctx, is_zero_step, a, b)
+
+        from ..gadgets.protogalaxy_chip import (
+            AssignedAccumulatorInstance,
+            AssignedBigUintPoint,
+            AssignedPlonkInstancePG,
+        )
+
+        acc_out = AssignedAccumulatorInstance(
+            AssignedPlonkInstancePG(
+                [
+                    AssignedBigUintPoint(
+                        [sel_cells(a, b) for a, b in zip(acc_assigned.ins.W_commitments[0].x, new_W.x)],
+                        [sel_cells(a, b) for a, b in zip(acc_assigned.ins.W_commitments[0].y, new_W.y)],
+                    )
+                ],
+                [
+                    [sel_cells(a, b) for a, b in zip(ra, rb)]
+                    for ra, rb in zip(acc_assigned.ins.instances, folded_acc.ins.instances)
+                ],
+                [sel_cells(a, b) for a, b in zip(acc_assigned.ins.challenges, folded_acc.ins.challenges)],
+            ),
+            [sel_cells(a, b) for a, b in zip(acc_assigned.betas, folded_acc.betas)],
+            sel_cells(acc_assigned.e, folded_acc.e),
+        )
+        from .sangria_ivc import StepFoldingCircuit as _SFC
+
+        support_out = _SFC._select_relaxed(
+            None, ctx, mg, is_zero_step, support_acc_assigned, folded_support
+        )
+
+        # --- user step
+        sc_ctx = RegionCtx(asn, ctx.offset)
+        z_next = self.sc.synthesize_step(sc_cfg, sc_ctx, z_i)
+        ctx.offset = sc_ctx.offset
+
+        # --- output marker
+        step_next = mg.add_with_const(ctx, step_cell, 1)
+        x1 = self._marker_hash(
+            ctx, mg, pg_chip, fold_chip, (pp0, pp1), step_next, z_0, z_next,
+            acc_out, support_out,
+        )
+
+        asn.copy(u_markers[1].column, u_markers[1].row, inst, 0)
+        asn.copy(x1.column, x1.row, inst, 1)
+        self.x1_value = x1.value
+        self.x0_value = u_markers[1].value
+
+    def instances(self, markers: Sequence[int]) -> list[list[int]]:
+        return [list(markers)]
+
+
+# ---------------------------------------------------------------------------
+# Public params + driver
+# ---------------------------------------------------------------------------
+
+
+class CyclefoldPublicParams:
+    """Reference `ivc/cyclefold/.../public_params.rs` (simplified)."""
+
+    def __init__(self, step_circuit: StepCircuit, k: int, ck_primary, ck_support):
+        self.sc = step_circuit
+        self.k = k
+        self.ck1 = ck_primary
+        self.ck2 = ck_support
+        self.f1 = bn256_fr
+        self.f2 = bn256_fq
+
+        # support structure (shape-stable across inputs)
+        sup = SupportCircuit(
+            InstanceInput(gold.identity(bn256_g1), gold.identity(bn256_g1), 0, 0),
+            num_bits=self.f1.num_bits,
+        )
+        sup_runner = CircuitRunner(SUPPORT_K, self.f2, sup, [sup.inp.into_instance(self.f2.modulus)])
+        self.S_support = sup_runner.collect_plonk_structure()
+        assert self.S_support.num_challenges == 0
+
+        # primary SFC structure via dry run (gate count probed first so the
+        # dry proof-poly lengths match the real ones)
+        probe_cs = ConstraintSystemBuilder()
+        CyclefoldSFC(step_circuit, None, self.f1).configure(probe_cs)
+        self.n_gates = max(len(probe_cs.flat_gates()), 1)
+        dry = CyclefoldSFC(step_circuit, self._dry_inputs(), self.f1)
+        runner = CircuitRunner(k, self.f1, dry, [[0, 0]])
+        self.S_primary = runner.collect_plonk_structure()
+        assert len(self.S_primary.gates) == self.n_gates
+
+        bits = digest_ints_to_bits(
+            structure_digest_stream(self.S_primary) + structure_digest_stream(self.S_support)
+        )
+        self.digest = into_curve_from_bits(bn256_g1, bits)
+        self.pg_pp = pg.ProverParam(self.S_primary, self.digest_coords())
+        self.sangria_pp_support, _ = sg.VanillaFS.setup_params(self.digest, self.S_support)
+
+    def digest_coords(self):
+        d = self.digest
+        return (0, 0) if d.is_identity else (d.x, d.y)
+
+    def num_cross_terms_support(self) -> int:
+        return self.S_support.get_degree_for_folding() - 1
+
+    def count_padded(self) -> int:
+        c = (1 << self.k) * self.n_gates
+        t = 1
+        while t < c:
+            t *= 2
+        return t
+
+    def betas_count(self) -> int:
+        return self.count_padded().bit_length() - 1
+
+    def _dry_inputs(self) -> CyclefoldStepInputs:
+        count = self.count_padded()
+        return CyclefoldStepInputs(
+            step=0,
+            pp_digest=(0, 0),
+            z_0=[0] * self.sc.arity,
+            z_i=[0] * self.sc.arity,
+            self_acc=self._initial_pg_acc_instance(),
+            self_incoming=PlonkInstance([gold.identity(bn256_g1)], [[0, 0]], []),
+            proof=pg.Proof(
+                _zero_poly(self.f1, _f_len(count)),
+                _zero_poly(self.f1, 1 << pg._next_pow2(8 + 1 - 2)),
+            ),
+            support_acc=sg.RelaxedPlonkInstance.new(
+                grumpkin, 0, 1, 0, markers_len=SUPPORT_IO
+            ),
+            support_incoming=PlonkInstance(
+                [gold.identity(grumpkin)], [[0] * SUPPORT_IO], []
+            ),
+            support_cross_commits=[gold.identity(grumpkin)] * 5,
+        )
+
+    def _initial_pg_acc_instance(self) -> pg.AccumulatorInstance:
+        return pg.AccumulatorInstance(
+            ins=PlonkInstance([gold.identity(bn256_g1)], [[0, 0]], []),
+            betas=[0] * self.betas_count(),
+            e=0,
+        )
+
+
+def _f_len(count_padded: int) -> int:
+    m = count_padded.bit_length() - 1
+    t = 1
+    while t < m + 1:
+        t *= 2
+    return t
+
+
+def _k_len(S) -> int:
+    # reference K-domain rule via the same PolyContext the prover uses
+    return 1 << pg.PolyContext(S, 1).fft_log_domain_size_K
+
+
+def _zero_poly(spec, n):
+    from ..poly.univariate import UnivariatePoly
+
+    return UnivariatePoly(spec, [0] * n)
+
+
+# ---------------------------------------------------------------------------
+# Driver
+# ---------------------------------------------------------------------------
+
+
+class CyclefoldIVC:
+    """Reference `ivc/cyclefold/incrementally_verifiable_computation` (new /
+    next / verify)."""
+
+    def __init__(self, pp: CyclefoldPublicParams, z_0: Sequence[int]):
+        f1 = pp.f1
+        self.pp = pp
+        self.step = 1
+        self.z_0 = [v % f1.modulus for v in z_0]
+
+        # initial PG accumulator from the all-zero dry trace
+        dry_trace = PlonkTrace(
+            PlonkInstance([gold.identity(bn256_g1)], [[0, 0]], []),
+            _zero_witness(pp.S_primary),
+        )
+        self.self_acc = pg.ProtoGalaxy.new_accumulator(
+            pp.pg_pp, PoseidonHash(default_ro_spec(f1)), dry_trace, bn256_g1
+        )
+        self.support_acc = sg.RelaxedPlonkTrace(
+            U=sg.RelaxedPlonkInstance.new(grumpkin, 0, 1, 0, markers_len=SUPPORT_IO),
+            W=_zero_relaxed_witness(pp.S_support),
+        )
+
+        z_out = pp.sc.process_step(self.z_0, pp.k, f1)
+        x1 = cyclefold_marker(
+            f1, pp.digest_coords(), 1, self.z_0, z_out,
+            pg.AccumulatorInstance.from_acc(self.self_acc), self.support_acc.U,
+        )
+        inputs = pp._dry_inputs()
+        inputs.pp_digest = pp.digest_coords()
+        inputs.z_0 = list(self.z_0)
+        inputs.z_i = list(self.z_0)
+        inputs.self_acc = pg.AccumulatorInstance.from_acc(self.self_acc)
+        inputs.support_acc = self.support_acc.U
+        sfc = CyclefoldSFC(pp.sc, inputs, f1)
+        markers = [0, x1]
+        instances = sfc.instances(markers)
+        runner = CircuitRunner(pp.k, f1, sfc, instances)
+        W = runner.collect_witness()
+        assert sfc.x1_value == x1, "cyclefold new: on/off-circuit X1 mismatch"
+        self.primary_trace = run_sps_protocol(
+            pp.S_primary, pp.ck1, instances, W, PoseidonHash(default_ro_spec(f1))
+        )
+        self.z_i = z_out
+        self.support_pub_instances: list = []
+
+    def next(self):
+        """One cyclefold step (reference `next`, mod.rs:210-324)."""
+        pp = self.pp
+        f1 = pp.f1
+        ro = lambda: PoseidonHash(default_ro_spec(f1))
+
+        prev_acc_ins = pg.AccumulatorInstance.from_acc(self.self_acc)
+        prev_trace = self.primary_trace
+
+        new_acc, proof = pg.ProtoGalaxy.prove(
+            pp.ck1, pp.pg_pp, ro(), self.self_acc, [prev_trace]
+        )
+
+        # re-derive gamma verifier-style to evaluate L0/L1
+        ro2 = ro()
+        pp.pg_pp.absorb_into(ro2, f1.modulus)
+        prev_acc_ins.absorb_into(ro2, f1.modulus)
+        pg.absorb_instance(ro2, prev_trace.u, f1.modulus)
+        delta = ro2.squeeze(MAX_BITS) % f1.modulus
+        for c in proof.poly_F.coeffs:
+            ro2.absorb_field(c % f1.modulus)
+        alpha = ro2.squeeze(MAX_BITS) % f1.modulus
+        for c in proof.poly_K.coeffs:
+            ro2.absorb_field(c % f1.modulus)
+        gamma = ro2.squeeze(MAX_BITS) % f1.modulus
+        l0, l1 = list(
+            lagrange.iter_eval_lagrange_poly_for_cyclic_group(f1, gamma, 1)
+        )[:2]
+
+        # --- support-circuit delegation: W_new = l0*W_acc + l1*W_inc
+        sup_input = InstanceInput(
+            prev_acc_ins.ins.W_commitments[0], prev_trace.u.W_commitments[0], l0, l1
+        )
+        expected_W = sup_input.p_out()
+        assert expected_W == new_acc.trace.u.W_commitments[0], \
+            "support delegation disagrees with the PG fold"
+        sup_circuit = SupportCircuit(sup_input, num_bits=f1.num_bits)
+        sup_instances = [sup_input.into_instance(pp.f2.modulus)]
+        sup_runner = CircuitRunner(SUPPORT_K, pp.f2, sup_circuit, sup_instances)
+        sup_W = sup_runner.collect_witness()
+        support_trace = run_sps_protocol(
+            pp.S_support, pp.ck2, sup_instances, sup_W, PoseidonHash(default_ro_spec(f1))
+        )
+        new_support_acc, sup_cross = sg.VanillaFS.prove(
+            pp.ck2, pp.sangria_pp_support, ro(), self.support_acc, support_trace
+        )
+        self.support_pub_instances.append(support_trace.u.instances)
+
+        # --- synthesize the SFC
+        z_next = pp.sc.process_step(self.z_i, pp.k, f1)
+        x1 = cyclefold_marker(
+            f1, pp.digest_coords(), self.step + 1, self.z_0, z_next,
+            pg.AccumulatorInstance.from_acc(new_acc), new_support_acc.U,
+        )
+        inputs = CyclefoldStepInputs(
+            step=self.step,
+            pp_digest=pp.digest_coords(),
+            z_0=list(self.z_0),
+            z_i=list(self.z_i),
+            self_acc=prev_acc_ins,
+            self_incoming=prev_trace.u,
+            proof=proof,
+            support_acc=self.support_acc.U,
+            support_incoming=support_trace.u,
+            support_cross_commits=sup_cross,
+        )
+        sfc = CyclefoldSFC(pp.sc, inputs, f1)
+        markers = [prev_trace.u.instances[0][1], x1]
+        instances = sfc.instances(markers)
+        runner = CircuitRunner(pp.k, f1, sfc, instances)
+        W = runner.collect_witness()
+        assert sfc.x1_value == x1, "cyclefold next: on/off-circuit X1 mismatch"
+
+        self.primary_trace = run_sps_protocol(
+            pp.S_primary, pp.ck1, instances, W, PoseidonHash(default_ro_spec(f1))
+        )
+        self.self_acc = new_acc
+        self.support_acc = new_support_acc
+        self.z_i = z_next
+        self.step += 1
+
+    def verify(self) -> list:
+        """Marker replay + is_sat on accumulators and the pending trace
+        (reference `verify`, mod.rs:337-393)."""
+        pp = self.pp
+        f1 = pp.f1
+        errors = []
+        # the pending trace's X1 commits to the *current* accumulator state
+        expected_x1 = cyclefold_marker(
+            f1, pp.digest_coords(), self.step, self.z_0, self.z_i,
+            pg.AccumulatorInstance.from_acc(self.self_acc), self.support_acc.U,
+        )
+        if expected_x1 != self.primary_trace.u.instances[0][1] % f1.modulus:
+            errors.append("marker X1 mismatch")
+        errors += [f"pg: {e}" for e in pg.ProtoGalaxy.is_sat(pp.ck1, pp.S_primary, self.self_acc)]
+        errors += [
+            f"support: {e}"
+            for e in sg.VanillaFS.is_sat(
+                pp.ck2, pp.S_support, self.support_acc, self.support_pub_instances
+            )
+        ]
+        from ..plonk import satisfy
+
+        try:
+            satisfy.is_sat(
+                pp.S_primary, pp.ck1, PoseidonHash(default_ro_spec(f1)),
+                self.primary_trace.u, self.primary_trace.w,
+            )
+        except satisfy.IsSatError as e:
+            errors.append(f"primary trace: {e}")
+        return errors
+
+
+def _zero_witness(S):
+    from ..plonk.structure import PlonkWitness
+
+    return PlonkWitness.zeros(S.field, S.round_sizes)
+
+
+def _zero_relaxed_witness(S):
+    return sg.RelaxedPlonkWitness(
+        [S.field.zeros((sz,)) for sz in S.round_sizes], S.field.zeros((S.n,))
+    )

@@ -68,8 +68,12 @@ class SupportCircuit:
         l1 = mg.assign_value(ctx, self.inp.l1)
         l0_bits = mg.le_num_to_bits(ctx, l0, self.num_bits)
         l1_bits = mg.le_num_to_bits(ctx, l1, self.num_bits)
-        r0 = ecc.scalar_mul(ctx, p0, l0_bits)
-        r1 = ecc.scalar_mul(ctx, p1, l1_bits)
+        # fast (incomplete) scalar muls: identity/garbage edge cases cannot
+        # occur for honest full-width scalars, and the all-zero base case
+        # degenerates to the identity correctly (reference uses the same
+        # `scalar_mul_non_zero` trade-off)
+        r0 = ecc.scalar_mul_fast(ctx, p0, l0_bits)
+        r1 = ecc.scalar_mul_fast(ctx, p1, l1_bits)
         out = ecc.add(ctx, r0, r1)
 
         for i, cell in enumerate([p0.x, p0.y, p1.x, p1.y, l0, l1, out.x, out.y]):

@@ -32,9 +32,12 @@ from ..poly import lagrange
 from ..poly.univariate import UnivariatePoly
 from ..util.ro import MAX_BITS
 
-# reference `ivc/cyclefold/mod.rs:26-29`
-DEFAULT_LIMB_WIDTH = 64
-DEFAULT_LIMBS_COUNT = 20
+# Limb geometry for commitment-coordinate decompositions.  The reference
+# uses 64x20 (`ivc/cyclefold/mod.rs:26-29`); we use the sangria 32x10
+# geometry everywhere (4x cheaper on-circuit rows, same 320-bit capacity) —
+# a self-consistent deviation recorded in PARITY.md.
+DEFAULT_LIMB_WIDTH = 32
+DEFAULT_LIMBS_COUNT = 10
 
 
 class ProtoGalaxyError(Exception):

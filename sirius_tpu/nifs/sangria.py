@@ -88,7 +88,12 @@ class RelaxedPlonkInstance:
             consistency_markers=[0] * markers_len,
             challenges=[0] * num_challenges,
             E_commitment=gold.identity(curve),
-            u=1,
+            # Nova's trivially-satisfying relaxed instance: u = 0 (with u = 1
+            # a zero accumulator violates any gate carrying fixed-constant
+            # terms; the reference's DEFAULT_u = 1 only works because its
+            # accumulators always start as relaxations of real traces —
+            # PARITY.md item 9)
+            u=0,
             sc_instances_hash_acc=(
                 None
                 if num_sc_instances == 0

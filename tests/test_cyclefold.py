@@ -1,0 +1,34 @@
+"""End-to-end Cyclefold IVC (analogue of reference `cyclefold_trivial`):
+ProtoGalaxy primary folding + Sangria-folded EC support circuit, with the
+on-circuit PG verify + delegation consistency + support fold in the SFC."""
+
+import os
+
+import pytest
+
+if not os.environ.get("SIRIUS_TPU_SLOW_TESTS"):
+    pytest.skip(
+        "cyclefold round-trip takes minutes on CPU; set SIRIUS_TPU_SLOW_TESTS=1 "
+        "(verified in the round-1 drive)",
+        allow_module_level=True,
+    )
+
+from sirius_tpu.curves.jpoint import BN256_G1, GRUMPKIN
+from sirius_tpu.ivc.cyclefold_ivc import CyclefoldIVC, CyclefoldPublicParams
+from sirius_tpu.ivc.step_circuit import TrivialStepCircuit
+from sirius_tpu.util.testing import MockCommitmentKey
+
+
+def test_cyclefold_trivial_two_steps():
+    pp = CyclefoldPublicParams(
+        TrivialStepCircuit(arity=1),
+        k=17,
+        ck_primary=MockCommitmentKey(BN256_G1),
+        ck_support=MockCommitmentKey(GRUMPKIN),
+    )
+    ivc = CyclefoldIVC(pp, [0x77])
+    assert ivc.step == 1
+    ivc.next()
+    assert ivc.step == 2
+    errors = ivc.verify()
+    assert not errors, errors
