@@ -291,7 +291,27 @@ class CyclefoldPublicParams:
         # dry proof-poly lengths match the real ones)
         probe_cs = ConstraintSystemBuilder()
         CyclefoldSFC(step_circuit, None, self.f1).configure(probe_cs)
-        self.n_gates = max(len(probe_cs.flat_gates()), 1)
+        from ..frontend.runner import ConstraintSystemMetainfo
+        from ..poly.expression import QueryIndexContext
+
+        probe_meta = ConstraintSystemMetainfo.build(k, probe_cs)
+        self.n_gates = max(len(probe_meta.gates), 1)
+        num_lookups = (
+            probe_meta.lookup_arguments.num_lookups() if probe_meta.lookup_arguments else 0
+        )
+        probe_ctx = QueryIndexContext(
+            num_selectors=probe_cs.num_selectors,
+            num_fixed=probe_cs.num_fixed,
+            num_advice=probe_cs.num_advice,
+            num_lookups=num_lookups,
+            num_challenges=probe_meta.num_challenges,
+        )
+        # max raw gate degree feeds the PG proof-poly domain sizes, so a step
+        # circuit with higher-degree gates must change the dry poly_K length
+        # (same bug class as the sangria cross-term count: it is NOT static)
+        self.max_gate_degree = max(
+            (g.degree(probe_ctx) for g in probe_meta.gates), default=0
+        )
         dry = CyclefoldSFC(step_circuit, self._dry_inputs(), self.f1)
         runner = CircuitRunner(k, self.f1, dry, [[0, 0]])
         self.S_primary = runner.collect_plonk_structure()
@@ -332,7 +352,7 @@ class CyclefoldPublicParams:
             self_incoming=PlonkInstance([gold.identity(bn256_g1)], [[0, 0]], []),
             proof=pg.Proof(
                 _zero_poly(self.f1, _f_len(count)),
-                _zero_poly(self.f1, 1 << pg._next_pow2(8 + 1 - 2)),
+                _zero_poly(self.f1, self._dry_k_len()),
             ),
             support_acc=sg.RelaxedPlonkInstance.new(
                 grumpkin, 0, 1, 0, markers_len=SUPPORT_IO
@@ -340,8 +360,14 @@ class CyclefoldPublicParams:
             support_incoming=PlonkInstance(
                 [gold.identity(grumpkin)], [[0] * SUPPORT_IO], []
             ),
-            support_cross_commits=[gold.identity(grumpkin)] * 5,
+            support_cross_commits=[gold.identity(grumpkin)] * self.num_cross_terms_support(),
         )
+
+    def _dry_k_len(self) -> int:
+        """poly_K length for L=1 from the probed max gate degree (mirrors
+        `PolyContext.fft_log_domain_size_K` before S_primary exists)."""
+        g_pts = pg._next_pow2(1 * self.max_gate_degree + 1)
+        return 1 << pg._next_pow2(max(g_pts + 1 - 2, 1))
 
     def _initial_pg_acc_instance(self) -> pg.AccumulatorInstance:
         return pg.AccumulatorInstance(

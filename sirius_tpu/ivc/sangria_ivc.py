@@ -225,12 +225,32 @@ class SideParams:
     S: object = None  # PlonkStructure, filled by PublicParams
 
 
-def _initial_relaxed(paired: CurveSpec) -> RelaxedPlonkInstance:
-    return RelaxedPlonkInstance.new(paired, num_challenges=0, num_witness=1, num_sc_instances=0)
+@dataclass
+class SideProbe:
+    """Shape info of one side's SFC, from a configure-only pass: how many
+    cross terms, SPS challenges, and witness commitments its instances carry
+    (all change when the step circuit registers gates/lookups of its own)."""
+
+    num_cross_terms: int
+    num_challenges: int
+    num_witness: int
 
 
-def _default_incoming(paired: CurveSpec) -> PlonkInstance:
-    return PlonkInstance([gold.identity(paired)], [[0, 0]], [])
+def _initial_relaxed(paired: CurveSpec, probe: "SideProbe | None" = None) -> RelaxedPlonkInstance:
+    return RelaxedPlonkInstance.new(
+        paired,
+        num_challenges=probe.num_challenges if probe else 0,
+        num_witness=probe.num_witness if probe else 1,
+        num_sc_instances=0,
+    )
+
+
+def _default_incoming(paired: CurveSpec, probe: "SideProbe | None" = None) -> PlonkInstance:
+    return PlonkInstance(
+        [gold.identity(paired)] * (probe.num_witness if probe else 1),
+        [[0, 0]],
+        [0] * (probe.num_challenges if probe else 0),
+    )
 
 
 class PublicParams:
@@ -248,20 +268,38 @@ class PublicParams:
         f1 = self.primary.curve.scalar  # bn256 Fr (primary circuit field)
         f2 = self.secondary.curve.scalar  # bn256 Fq
 
-        # --- collect both structures by dry-running the SFCs (placeholders)
-        def dry_sfc(side: SideParams, sc, fspec):
+        # --- per-side folding cross-term counts, probed from each SFC's own
+        # gates (configure-only; input sizes don't change the gate set).  A
+        # step circuit that registers extra gates (e.g. its own MainGate
+        # config) raises the compressed-gate degree, so this CANNOT be a
+        # static constant: the paired SFC assigns exactly this many T points
+        # and a wrong count shifts every row after them (reference computes it
+        # from the structure via `grouped.iter_from_first().count()`).
+        self.primary_probe = self._probe_side(primary_sc, self.primary, f1, k1)
+        self.secondary_probe = self._probe_side(secondary_sc, self.secondary, f2, k2)
+        self.primary_num_cross_terms = self.primary_probe.num_cross_terms
+        self.secondary_num_cross_terms = self.secondary_probe.num_cross_terms
+
+        # --- collect both structures by dry-running the SFCs (placeholders).
+        # Each SFC folds the *paired* side's instances, so it assigns the
+        # paired side's cross-term count.
+        def dry_sfc(side: SideParams, sc, fspec, paired_probe: SideProbe):
             inp = StepInputs(
                 step=0,
                 pp_digest=(0, 0),
                 z_0=[0] * sc.arity,
                 z_i=[0] * sc.arity,
-                U=_initial_relaxed(side.paired),
-                u=_default_incoming(side.paired),
-                cross_term_commits=[gold.identity(side.paired)] * self.num_cross_terms(),
+                U=_initial_relaxed(side.paired, paired_probe),
+                u=_default_incoming(side.paired, paired_probe),
+                cross_term_commits=[gold.identity(side.paired)] * paired_probe.num_cross_terms,
             )
             return StepFoldingCircuit(sc, inp, side.paired, fspec)
 
-        primary_runner = CircuitRunner(k1, f1, dry_sfc(self.primary, primary_sc, f1), [[0, 0]])
+        primary_runner = CircuitRunner(
+            k1, f1,
+            dry_sfc(self.primary, primary_sc, f1, self.secondary_probe),
+            [[0, 0]],
+        )
         self.primary.S = primary_runner.collect_plonk_structure()
 
         # secondary structure + the initial secondary trace (pre-round)
@@ -270,9 +308,10 @@ class PublicParams:
             pp_digest=(0, 0),
             z_0=[0] * secondary_sc.arity,
             z_i=[0] * secondary_sc.arity,
-            U=_initial_relaxed(self.secondary.paired),
-            u=_default_incoming(self.secondary.paired),
-            cross_term_commits=[gold.identity(self.secondary.paired)] * self.num_cross_terms(),
+            U=_initial_relaxed(self.secondary.paired, self.primary_probe),
+            u=_default_incoming(self.secondary.paired, self.primary_probe),
+            cross_term_commits=[gold.identity(self.secondary.paired)]
+            * self.primary_num_cross_terms,
         )
         sec_sfc = StepFoldingCircuit(secondary_sc, sec_inp, self.secondary.paired, f2)
         sec_z_out = secondary_sc.process_step([0] * secondary_sc.arity, k2, f2)
@@ -280,7 +319,8 @@ class PublicParams:
             0,  # cast of default incoming u's marker[1]
             generate_consistency_marker(
                 default_ro_spec(f2), self.secondary.paired, gold.identity(self.secondary.paired),
-                1, [0] * secondary_sc.arity, sec_z_out, _initial_relaxed(self.secondary.paired),
+                1, [0] * secondary_sc.arity, sec_z_out,
+                _initial_relaxed(self.secondary.paired, self.primary_probe),
             ),
         ]
         sec_runner = CircuitRunner(k2, f2, sec_sfc, sec_sfc.instances(sec_markers))
@@ -302,10 +342,29 @@ class PublicParams:
         self.digest_2 = into_curve_from_bits(self.secondary.curve, bits)
 
     @staticmethod
-    def num_cross_terms() -> int:
-        """Folding degree of the MainGate-only SFC system minus 1 (static:
-        the universal gate has degree 5 -> grouped length 6 -> 5 terms)."""
-        return 5
+    def _probe_side(sc: StepCircuit, side: SideParams, fspec: FieldSpec, k: int) -> SideProbe:
+        """Shape of this side's instances, from a configure-only pass (the
+        gate/lookup set doesn't depend on input sizes): cross-term count =
+        compressed-gate grouped length minus 1 (reference
+        `VanillaFS::commit_cross_terms` emits one T per degree >= 1 term),
+        plus the SPS challenge and witness-commitment counts (the paired SFC
+        assigns all three, so none of them may be assumed static)."""
+        from ..frontend.runner import ConstraintSystemMetainfo
+
+        dummy = StepInputs(
+            step=0, pp_digest=(0, 0), z_0=[0] * sc.arity, z_i=[0] * sc.arity,
+            U=_initial_relaxed(side.paired), u=_default_incoming(side.paired),
+            cross_term_commits=[],
+        )
+        sfc = StepFoldingCircuit(sc, dummy, side.paired, fspec)
+        cs = ConstraintSystemBuilder()
+        sfc.configure(cs)
+        meta = ConstraintSystemMetainfo.build(k, cs)
+        return SideProbe(
+            num_cross_terms=len(meta.custom_gates_lookup_compressed.grouped) - 1,
+            num_challenges=meta.num_challenges,
+            num_witness=len(meta.round_sizes),
+        )
 
     def digest_coords(self, which: int) -> tuple[int, int]:
         d = self.digest_1 if which == 1 else self.digest_2
@@ -342,7 +401,7 @@ class IVC:
             pp.primary_sc,
             StepInputs(0, pp.digest_coords(2), list(primary_z_0), list(primary_z_0),
                        sec_relaxed.U, sec_pre_trace.u,
-                       [gold.identity(pp.primary.paired)] * pp.num_cross_terms()),
+                       [gold.identity(pp.primary.paired)] * pp.secondary_num_cross_terms),
             pp.primary.paired, f1,
         )
         primary_instances = primary_sfc.instances(primary_markers)
@@ -376,7 +435,7 @@ class IVC:
             pp.secondary_sc,
             StepInputs(0, pp.digest_coords(1), list(secondary_z_0), list(secondary_z_0),
                        primary_relaxed.U, primary_trace.u,
-                       [gold.identity(pp.secondary.paired)] * pp.num_cross_terms()),
+                       [gold.identity(pp.secondary.paired)] * pp.primary_num_cross_terms),
             pp.secondary.paired, f2,
         )
         secondary_instances = secondary_sfc.instances(secondary_markers)

@@ -93,15 +93,40 @@ class CommitmentKey:
 
     def commit(self, v_ints: list[int] | jnp.ndarray, window_bits: int | None = None) -> gold.AffinePoint:
         """Commit to a scalar vector (host ints or (n,16) standard-form limb
-        array); returns the affine point (reference `commitment.rs:81-90`)."""
+        array); returns the affine point (reference `commitment.rs:81-90`).
+
+        Backend selected by SIRIUS_TPU_COMMIT_BACKEND: "tpu" (default, XLA
+        windowed MSM) or "native" (C++ multi-threaded Pippenger, the host
+        analogue of the reference's rayon best_multiexp)."""
         if isinstance(v_ints, (list, tuple)):
             n = len(v_ints)
-            scalars = jnp.asarray(ints_to_limbs([v % self.curve.fs.p for v in v_ints]))
+            ints = [v % self.curve.fs.p for v in v_ints]
+            scalars = None
         else:
             scalars = v_ints
             n = scalars.shape[0]
+            ints = None
         if n > len(self):
             raise TooLongInput(n, len(self))
+        if os.environ.get("SIRIUS_TPU_COMMIT_BACKEND", "tpu") == "native":
+            from .. import native
+
+            if native.available():
+                if ints is None:
+                    from ..fields.limb import limbs_to_ints
+
+                    ints = limbs_to_ints(np.asarray(scalars))
+                return native.native_msm(self.curve.spec, self.host_points()[:n], ints)
+        if scalars is None:
+            scalars = jnp.asarray(ints_to_limbs(ints))
         pts = Points(self.points.x[:n], self.points.y[:n], self.points.z[:n])
         res = msm_ops.msm_jitted(self.curve, scalars, pts, window_bits=window_bits or self.window_bits)
         return self.curve.decode(Points(*(c[None] for c in res)))[0]
+
+    def host_points(self) -> list[gold.AffinePoint]:
+        """Decoded affine generators (cached; used by the native backend)."""
+        cached = getattr(self, "_host_points", None)
+        if cached is None:
+            cached = self.curve.decode(self.points)
+            self._host_points = cached
+        return cached

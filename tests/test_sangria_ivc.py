@@ -43,3 +43,27 @@ def test_sangria_ivc_trivial_two_steps(pp):
     assert ivc.step == 2
     errors = ivc.verify()
     assert not errors, errors
+
+
+def test_sangria_ivc_poseidon_step():
+    """Step circuit that registers its own gates (second MainGate config):
+    raises the primary folding degree to 6 and adds an SPS compression
+    challenge — both must be probed, not assumed (regression for the
+    hardcoded cross-term-count/challenge-shape bug)."""
+    from sirius_tpu.fields.constants import bn256_fr
+    from sirius_tpu.gadgets.poseidon_step_circuit import PoseidonStepCircuit
+
+    pp2 = PublicParams(
+        PoseidonStepCircuit(bn256_fr, repeat_count=1),
+        TrivialStepCircuit(arity=1),
+        k1=K,
+        k2=K,
+        ck1=MockCommitmentKey(BN256_G1),
+        ck2=MockCommitmentKey(GRUMPKIN),
+    )
+    assert pp2.primary_probe.num_cross_terms == 6
+    assert pp2.primary_probe.num_challenges == 1
+    ivc = IVC(pp2, [0x42], [0])
+    ivc.fold_step()
+    errors = ivc.verify()
+    assert not errors, errors
