@@ -312,6 +312,10 @@ class CyclefoldPublicParams:
         self.max_gate_degree = max(
             (g.degree(probe_ctx) for g in probe_meta.gates), default=0
         )
+        # primary instance shape (W commitments / SPS challenges) is also
+        # step-circuit-dependent (extra gates add a compression challenge)
+        self.num_challenges_primary = probe_meta.num_challenges
+        self.num_witness_primary = len(probe_meta.round_sizes)
         dry = CyclefoldSFC(step_circuit, self._dry_inputs(), self.f1)
         runner = CircuitRunner(k, self.f1, dry, [[0, 0]])
         self.S_primary = runner.collect_plonk_structure()
@@ -349,7 +353,7 @@ class CyclefoldPublicParams:
             z_0=[0] * self.sc.arity,
             z_i=[0] * self.sc.arity,
             self_acc=self._initial_pg_acc_instance(),
-            self_incoming=PlonkInstance([gold.identity(bn256_g1)], [[0, 0]], []),
+            self_incoming=self._default_primary_incoming(),
             proof=pg.Proof(
                 _zero_poly(self.f1, _f_len(count)),
                 _zero_poly(self.f1, self._dry_k_len()),
@@ -369,9 +373,16 @@ class CyclefoldPublicParams:
         g_pts = pg._next_pow2(1 * self.max_gate_degree + 1)
         return 1 << pg._next_pow2(max(g_pts + 1 - 2, 1))
 
+    def _default_primary_incoming(self) -> PlonkInstance:
+        return PlonkInstance(
+            [gold.identity(bn256_g1)] * self.num_witness_primary,
+            [[0, 0]],
+            [0] * self.num_challenges_primary,
+        )
+
     def _initial_pg_acc_instance(self) -> pg.AccumulatorInstance:
         return pg.AccumulatorInstance(
-            ins=PlonkInstance([gold.identity(bn256_g1)], [[0, 0]], []),
+            ins=self._default_primary_incoming(),
             betas=[0] * self.betas_count(),
             e=0,
         )
@@ -413,7 +424,7 @@ class CyclefoldIVC:
 
         # initial PG accumulator from the all-zero dry trace
         dry_trace = PlonkTrace(
-            PlonkInstance([gold.identity(bn256_g1)], [[0, 0]], []),
+            pp._default_primary_incoming(),
             _zero_witness(pp.S_primary),
         )
         self.self_acc = pg.ProtoGalaxy.new_accumulator(

@@ -224,6 +224,115 @@ def msm_host(curve: Curve, scalars_std: jnp.ndarray, points: Points, window_bits
     return acc
 
 
+# ---------------------------------------------------------------------------
+# Bucket-table kernel: classic Pippenger work (n adds per window) as one XLA
+# program.  Lanes = (window, group); each group serially pushes its elements
+# into a private bucket row (conflict-free scatter), then a static halving
+# tree merges group tables.  This replaces the Hillis-Steele scan's n*log n
+# adds with ~n + G*B adds per window.
+# ---------------------------------------------------------------------------
+
+
+def _bucket_totals(curve: Curve, c: int, G: int, digits: jnp.ndarray, points: Points) -> Points:
+    """Per-window totals sum_v v*B_v.
+
+    digits: (W, n) uint32 window digits (0 = dead).
+    points: (n,) Jacobian batch.  n must be divisible by G.
+    Returns Points with shape (W,).
+    """
+    W, n = digits.shape
+    B = (1 << c) - 1
+    g = n // G
+
+    dg = digits.reshape(W, G, g)
+    Pg = Points(*(p.reshape(G, g, *p.shape[1:]) for p in points))
+
+    w_ar = jnp.arange(W)[:, None]  # (W, 1)
+    g_ar = jnp.arange(G)[None, :]  # (1, G)
+    table = curve.identity((W, G, B))
+
+    def body(t, table):
+        v = dg[:, :, t]  # (W, G)
+        live = v != 0
+        vm1 = jnp.where(live, v - 1, 0).astype(jnp.int32)
+        cur = Points(*(tc[w_ar, g_ar, vm1] for tc in table))  # (W, G, L)
+        e = Points(*(jnp.broadcast_to(pc[:, t][None], cur_c.shape)
+                     for pc, cur_c in zip(Pg, cur)))
+        new = curve.select(live, curve.add(cur, e), cur)
+        return Points(*(
+            tc.at[w_ar, g_ar, vm1].set(nc, unique_indices=True)
+            for tc, nc in zip(table, new)
+        ))
+
+    table = jax.lax.fori_loop(0, g, body, table)
+
+    # static halving tree over the group axis (work-efficient: G*B adds)
+    assert G & (G - 1) == 0, "group count must be a power of two"
+    while table.x.shape[1] > 1:
+        h = table.x.shape[1] // 2
+        lo = Points(*(tc[:, :h] for tc in table))
+        hi = Points(*(tc[:, h:] for tc in table))
+        table = curve.add(lo, hi)
+    buckets = Points(*(tc[:, 0] for tc in table))  # (W, B)
+
+    # suffix-of-suffix gives sum_v v*B_v (as in _window_total)
+    bsteps = max((B - 1).bit_length(), 1)
+    identWB = curve.identity((W, B))
+
+    def suf_body(j, Pc):
+        shift = jnp.int32(1) << j
+        Pnext = _roll_fill(Pc, identWB, shift, axis=1, forward=False)
+        return curve.add(Pc, Pnext)
+
+    suffix = jax.lax.fori_loop(0, bsteps, suf_body, buckets)
+    total_scan = jax.lax.fori_loop(0, bsteps, suf_body, suffix)
+    return Points(total_scan.x[:, 0], total_scan.y[:, 0], total_scan.z[:, 0])
+
+
+@lru_cache(maxsize=None)
+def _bucket_totals_jit(curve: Curve, window_bits: int, G: int):
+    return jax.jit(partial(_bucket_totals, curve, window_bits, G))
+
+
+def msm_bucket(
+    curve: Curve,
+    scalars_std: jnp.ndarray,
+    points: Points,
+    window_bits: int = WINDOW_BITS,
+    group_count: int | None = None,
+):
+    """Bucket-table MSM; returns a host gold.AffinePoint like `msm_host`."""
+    n = scalars_std.shape[0]
+    c = window_bits
+    W = (NUM_LIMBS * LIMB_BITS) // c
+    cmask = np.uint32((1 << c) - 1)
+    G = group_count or (1 << min(7, max(n.bit_length() - 1, 0)))
+    if n % G:
+        pad = G - n % G
+        scalars_std = jnp.concatenate(
+            [scalars_std, jnp.zeros((pad, scalars_std.shape[1]), scalars_std.dtype)]
+        )
+        ident = curve.identity((pad,))
+        points = Points(*(jnp.concatenate([pc, ic]) for pc, ic in zip(points, ident)))
+        n += pad
+
+    digits = jnp.stack(
+        [
+            (scalars_std[:, (w * c) // LIMB_BITS] >> ((w * c) % LIMB_BITS)) & cmask
+            for w in range(W)
+        ]
+    )
+    totals = _bucket_totals_jit(curve, c, G)(digits, points)
+
+    affine = curve.decode(totals)
+    acc = affine[-1]
+    for w in range(W - 2, -1, -1):
+        for _ in range(c):
+            acc = acc.double()
+        acc = acc.add(affine[w])
+    return acc
+
+
 def msm_naive(curve: Curve, scalars_std: jnp.ndarray, points: Points) -> Points:
     """Binary double-and-add reference kernel (for tests / tiny inputs)."""
     nbits = 16 * NUM_LIMBS

@@ -32,3 +32,23 @@ def test_cyclefold_trivial_two_steps():
     assert ivc.step == 2
     errors = ivc.verify()
     assert not errors, errors
+
+
+def test_cyclefold_poseidon_step():
+    """Gate-adding step circuit through the PG/cyclefold path (2 gates,
+    1 SPS compression challenge): regression for hardcoded dry-input
+    shapes in CyclefoldPublicParams."""
+    from sirius_tpu.fields.constants import bn256_fr
+    from sirius_tpu.gadgets.poseidon_step_circuit import PoseidonStepCircuit
+
+    pp = CyclefoldPublicParams(
+        PoseidonStepCircuit(bn256_fr, repeat_count=1),
+        k=17,
+        ck_primary=MockCommitmentKey(BN256_G1),
+        ck_support=MockCommitmentKey(GRUMPKIN),
+    )
+    assert pp.n_gates == 2 and pp.num_challenges_primary == 1
+    ivc = CyclefoldIVC(pp, [0x33])
+    ivc.next()
+    errors = ivc.verify()
+    assert not errors, errors
