@@ -164,8 +164,27 @@ class StepFoldingCircuit:
         expected = mg.conditional_select(ctx, is_zero_step, u_x0_native, computed_x0)
         ctx.constrain_equal(expected, u_x0_native)
 
+        # --- step-circuit public-instance hash chain (reference
+        # `instances_accumulator_computation.rs:70-84`): acc' =
+        # Poseidon(acc, u.instances[1:]) reduced mod the paired scalar field,
+        # mirroring `absorb_in_sc_instances_accumulator` cell-for-cell.
+        sc_next_cell = None
+        if U_assigned.sc_hash_acc is not None:
+            sc_ro = PoseidonChip(mg, default_ro_spec(self.spec))
+            sc_ro.absorb_cell(U_assigned.sc_hash_acc)
+            for col in u_assigned.sc_instances:
+                for cell in col:
+                    sc_ro.absorb_cell(cell)
+            s = sc_ro.squeeze(ctx)
+            s_bn = bn.from_assigned_cell(ctx, s)
+            _, r_bn = bn.red_mod(ctx, s_bn, fold_chip.q)
+            sc_next_cell = bn.to_native_cell(ctx, r_bn)
+
         # --- fold (non-base) then base-case select (reference :572-635)
-        folded, _r = fold_chip.fold(ctx, U_assigned, u_assigned, T_assigned, (pp0, pp1))
+        folded, _r = fold_chip.fold(
+            ctx, U_assigned, u_assigned, T_assigned, (pp0, pp1),
+            sc_next_hash_acc=sc_next_cell,
+        )
         U_out = self._select_relaxed(ctx, mg, is_zero_step, U_assigned, folded)
 
         # --- user step (reference :637-643)
@@ -204,11 +223,17 @@ class StepFoldingCircuit:
             consistency_markers=[sel_bn(x, y) for x, y in zip(a.consistency_markers, b.consistency_markers)],
             challenges=[sel_bn(x, y) for x, y in zip(a.challenges, b.challenges)],
             u=sel_bn(a.u, b.u),
-            sc_hash_acc=None,
+            sc_hash_acc=(
+                None
+                if a.sc_hash_acc is None
+                else mg.conditional_select(ctx, cond, a.sc_hash_acc, b.sc_hash_acc)
+            ),
         )
 
     def instances(self, markers: Sequence[int]) -> list[list[int]]:
-        return [list(markers)]
+        """[markers] + the step circuit's own public instance columns
+        (reference `step_folding_circuit.rs:645-700` instance layout)."""
+        return [list(markers)] + [list(c) for c in self.sc.instances()]
 
 
 # ---------------------------------------------------------------------------
@@ -234,6 +259,8 @@ class SideProbe:
     num_cross_terms: int
     num_challenges: int
     num_witness: int
+    # lengths of the step circuit's own public instance columns
+    sc_instance_lens: tuple[int, ...] = ()
 
 
 def _initial_relaxed(paired: CurveSpec, probe: "SideProbe | None" = None) -> RelaxedPlonkInstance:
@@ -241,14 +268,14 @@ def _initial_relaxed(paired: CurveSpec, probe: "SideProbe | None" = None) -> Rel
         paired,
         num_challenges=probe.num_challenges if probe else 0,
         num_witness=probe.num_witness if probe else 1,
-        num_sc_instances=0,
+        num_sc_instances=sum(probe.sc_instance_lens) if probe else 0,
     )
 
 
 def _default_incoming(paired: CurveSpec, probe: "SideProbe | None" = None) -> PlonkInstance:
     return PlonkInstance(
         [gold.identity(paired)] * (probe.num_witness if probe else 1),
-        [[0, 0]],
+        [[0, 0]] + [[0] * n for n in (probe.sc_instance_lens if probe else ())],
         [0] * (probe.num_challenges if probe else 0),
     )
 
@@ -258,8 +285,6 @@ class PublicParams:
 
     def __init__(self, primary_sc: StepCircuit, secondary_sc: StepCircuit,
                  k1: int, k2: int, ck1: CommitmentKey, ck2: CommitmentKey):
-        assert not primary_sc.instances() and not secondary_sc.instances(), \
-            "round-1 scope: no extra step-circuit instance columns"
         self.primary = SideParams(bn256_g1, grumpkin, k1, ck1)
         self.secondary = SideParams(grumpkin, bn256_g1, k2, ck2)
         self.primary_sc = primary_sc
@@ -295,10 +320,9 @@ class PublicParams:
             )
             return StepFoldingCircuit(sc, inp, side.paired, fspec)
 
+        dry_primary = dry_sfc(self.primary, primary_sc, f1, self.secondary_probe)
         primary_runner = CircuitRunner(
-            k1, f1,
-            dry_sfc(self.primary, primary_sc, f1, self.secondary_probe),
-            [[0, 0]],
+            k1, f1, dry_primary, dry_primary.instances([0, 0])
         )
         self.primary.S = primary_runner.collect_plonk_structure()
 
@@ -364,6 +388,7 @@ class PublicParams:
             num_cross_terms=len(meta.custom_gates_lookup_compressed.grouped) - 1,
             num_challenges=meta.num_challenges,
             num_witness=len(meta.round_sizes),
+            sc_instance_lens=tuple(len(c) for c in sc.instances()),
         )
 
     def digest_coords(self, which: int) -> tuple[int, int]:
@@ -451,8 +476,10 @@ class IVC:
         self.primary_relaxed = primary_relaxed
         self.secondary_relaxed = sec_relaxed
         self.secondary_trace = secondary_trace
-        self.primary_pub_instances: list = []
-        self.secondary_pub_instances: list = []
+        # seeded with the traces the accumulators were relaxed FROM, so the
+        # sc-instance hash replay in is_sat covers the whole chain
+        self.primary_pub_instances: list = [primary_trace.u.instances]
+        self.secondary_pub_instances: list = [sec_pre_trace.u.instances]
 
     def fold_step(self):
         """One IVC step (reference `fold_step`)."""

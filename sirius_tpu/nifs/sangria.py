@@ -60,7 +60,10 @@ def absorb_in_sc_instances_accumulator(
 
 
 def get_initial_sc_instances_accumulator(curve: CurveSpec) -> int:
-    return absorb_in_sc_instances_accumulator(curve, 0, [])
+    """Chain seed: literal 0, so that `from_instance` (absorb(0, sc)) equals
+    one replay step from the initial value and `is_sat_pub_instances` can
+    walk the full per-step instance list from the start."""
+    return 0
 
 
 # ---------------------------------------------------------------------------

@@ -289,9 +289,60 @@ def _bucket_totals(curve: Curve, c: int, G: int, digits: jnp.ndarray, points: Po
     return Points(total_scan.x[:, 0], total_scan.y[:, 0], total_scan.z[:, 0])
 
 
+def _bucket_totals_onehot(curve: Curve, c: int, G: int, digits: jnp.ndarray, points: Points) -> Points:
+    """One-hot variant for small windows (c <= 5): the bucket row update is a
+    masked select over B buckets instead of an XLA scatter — pure vector ops
+    that fuse, trading B*L mask work (cheap) for scatter latency (dominant).
+    """
+    W, n = digits.shape
+    B = (1 << c) - 1
+    g = n // G
+
+    dg = digits.reshape(W, G, g)
+    Pg = Points(*(p.reshape(G, g, *p.shape[1:]) for p in points))
+    vs = jnp.arange(1, B + 1, dtype=jnp.uint32)
+    table = curve.identity((W, G, B))
+
+    def body(t, table):
+        v = dg[:, :, t]  # (W, G)
+        oh = v[..., None] == vs  # (W, G, B); all-false for dead v=0
+        # masked gather: exactly one bucket matches, so the sum is exact
+        cur = Points(*((tc * oh[..., None]).sum(axis=2) for tc in table))
+        e = Points(*(jnp.broadcast_to(pc[:, t][None], cur_c.shape)
+                     for pc, cur_c in zip(Pg, cur)))
+        new = curve.add(cur, e)
+        return Points(*(
+            jnp.where(oh[..., None], nc[:, :, None, :], tc)
+            for tc, nc in zip(table, new)
+        ))
+
+    table = jax.lax.fori_loop(0, g, body, table)
+
+    assert G & (G - 1) == 0, "group count must be a power of two"
+    while table.x.shape[1] > 1:
+        h = table.x.shape[1] // 2
+        lo = Points(*(tc[:, :h] for tc in table))
+        hi = Points(*(tc[:, h:] for tc in table))
+        table = curve.add(lo, hi)
+    buckets = Points(*(tc[:, 0] for tc in table))  # (W, B)
+
+    bsteps = max((B - 1).bit_length(), 1)
+    identWB = curve.identity((W, B))
+
+    def suf_body(j, Pc):
+        shift = jnp.int32(1) << j
+        Pnext = _roll_fill(Pc, identWB, shift, axis=1, forward=False)
+        return curve.add(Pc, Pnext)
+
+    suffix = jax.lax.fori_loop(0, bsteps, suf_body, buckets)
+    total_scan = jax.lax.fori_loop(0, bsteps, suf_body, suffix)
+    return Points(total_scan.x[:, 0], total_scan.y[:, 0], total_scan.z[:, 0])
+
+
 @lru_cache(maxsize=None)
 def _bucket_totals_jit(curve: Curve, window_bits: int, G: int):
-    return jax.jit(partial(_bucket_totals, curve, window_bits, G))
+    impl = _bucket_totals_onehot if window_bits <= 5 else _bucket_totals
+    return jax.jit(partial(impl, curve, window_bits, G))
 
 
 def msm_bucket(

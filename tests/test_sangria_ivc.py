@@ -67,3 +67,33 @@ def test_sangria_ivc_poseidon_step():
     ivc.fold_step()
     errors = ivc.verify()
     assert not errors, errors
+
+
+def test_sangria_ivc_step_circuit_instances():
+    """Step circuit exposing its own public instance column: values are
+    hash-chained into SCInstancesHashAcc on- and off-circuit and replayed
+    by is_sat (reference examples/instances.rs scope)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "ex_instances", "examples/instances.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    from sirius_tpu.fields.constants import bn256_fr
+
+    pp2 = PublicParams(
+        mod.PublicPow5Circuit(bn256_fr),
+        TrivialStepCircuit(arity=1),
+        k1=K, k2=K,
+        ck1=MockCommitmentKey(BN256_G1),
+        ck2=MockCommitmentKey(GRUMPKIN),
+    )
+    assert pp2.primary_probe.sc_instance_lens == (1,)
+    ivc = IVC(pp2, [3], [0])
+    ivc.fold_step()
+    errors = ivc.verify()
+    assert not errors, errors
+    # the accumulated hash must change when instances change
+    assert ivc.primary_relaxed.U.sc_instances_hash_acc is not None
