@@ -39,7 +39,7 @@ def main():
     from sirius_tpu.fields import gold
     from sirius_tpu.fields.limb import ints_to_limbs
     from sirius_tpu.ops.commitment import CommitmentKey
-    from sirius_tpu.ops.msm import msm_host
+    from sirius_tpu.ops.msm import best_msm, msm_host
 
     curve = BN256_G1
     backend = jax.default_backend()
@@ -65,11 +65,13 @@ def main():
     want = gold.msm(scalars[:m], prefix_pts)
     assert got == want, "MSM kernel disagrees with gold model"
 
-    # --- tpu/XLA backend: compile + warmup, then timed run
-    msm_host(curve, arr, ck.points, window_bits)
+    # --- tpu/XLA backend (best_msm: one-hot bucket kernel at this size):
+    # compile + warmup, then timed run
+    got_full = best_msm(curve, arr, ck.points)
     t0 = time.time()
-    msm_host(curve, arr, ck.points, window_bits)
+    got_full2 = best_msm(curve, arr, ck.points)
     dt = time.time() - t0
+    assert (got_full2.x, got_full2.y) == (got_full.x, got_full.y)
     tpu_pts_per_sec = n / dt
 
     # --- native C++ backend (threaded Pippenger on the host CPUs)

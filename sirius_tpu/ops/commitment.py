@@ -88,7 +88,9 @@ class CommitmentKey:
         if n == 0:
             return gold.identity(self.curve.spec)
         pts = Points(self.points.x[:n], self.points.y[:n], self.points.z[:n])
-        res = msm_ops.msm_jitted(self.curve, scalars, pts, window_bits=window_bits or self.window_bits)
+        if window_bits is None:
+            return msm_ops.best_msm(self.curve, scalars, pts)
+        res = msm_ops.msm_jitted(self.curve, scalars, pts, window_bits=window_bits)
         return self.curve.decode(Points(*(c[None] for c in res)))[0]
 
     def commit(self, v_ints: list[int] | jnp.ndarray, window_bits: int | None = None) -> gold.AffinePoint:

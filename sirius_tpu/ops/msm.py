@@ -384,6 +384,17 @@ def msm_bucket(
     return acc
 
 
+def best_msm(curve: Curve, scalars_std: jnp.ndarray, points: Points):
+    """Dispatch to the fastest device kernel for this size; returns a host
+    gold.AffinePoint.  Large inputs use the one-hot bucket kernel (c=4,
+    G=256: ~8x the scan kernel on TPU v5e); small ones the per-window scan
+    (cheaper compile, adequate at small n)."""
+    n = scalars_std.shape[0]
+    if n >= 4096 and n % 256 == 0:
+        return msm_bucket(curve, scalars_std, points, window_bits=4, group_count=256)
+    return msm_host(curve, scalars_std, points, WINDOW_BITS)
+
+
 def msm_naive(curve: Curve, scalars_std: jnp.ndarray, points: Points) -> Points:
     """Binary double-and-add reference kernel (for tests / tiny inputs)."""
     nbits = 16 * NUM_LIMBS

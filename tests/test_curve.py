@@ -81,3 +81,22 @@ def test_msm_pippenger_vs_gold(n, c, rng):
     arr = jnp.asarray(ints_to_limbs(scalars))
     got = curve.decode(Points(*(cc[None] for cc in msm_jitted(curve, arr, curve.encode(pts), window_bits=c))))[0]
     assert got == gold.msm(scalars, pts)
+
+
+@pytest.mark.parametrize("n,c,G", [(48, 4, 8), (40, 8, 8)])
+def test_msm_bucket_vs_gold(n, c, G, rng):
+    """One-hot (c<=5) and scatter (c>5) bucket-table kernels vs gold."""
+    from sirius_tpu.ops.msm import msm_bucket
+
+    curve = BN256_G1
+    pts = rand_points(curve, rng, n)
+    scalars = [
+        int(a) | (int(b) << 63) | (int(cc) << 126) | (int(d) << 189)
+        for a, b, cc, d in rng.integers(0, 2**63, size=(n, 4))
+    ]
+    scalars = [s % curve.fs.p for s in scalars]
+    scalars[1] = 0
+    scalars[2] = 1
+    arr = jnp.asarray(ints_to_limbs(scalars))
+    got = msm_bucket(curve, arr, curve.encode(pts), window_bits=c, group_count=G)
+    assert got == gold.msm(scalars, pts)
