@@ -147,6 +147,33 @@ class Curve:
         out = self.select(p_inf, Q, out)
         return out
 
+    def add_mixed_fast(self, P: Points, Q: Points) -> Points:
+        """Incomplete mixed addition (madd-2007-bl, 7M+4S): Q MUST be affine
+        (z = 1 in Montgomery form) and not the identity, and Q != +-P must
+        hold for non-identity P.  P may be the identity (z = 0).
+
+        For MSM bucket accumulation over distinct generator points, where a
+        bucket value colliding with an incoming point would constitute a
+        discrete-log relation between key generators (the standard Pippenger
+        incompleteness argument; the complete `add` remains the default for
+        general inputs).
+        """
+        f = self.fb
+        z1z1 = f.square(P.z)
+        u2, t = f.mul(jnp.stack([Q.x, Q.y]), jnp.stack([z1z1, P.z]))
+        s2 = f.mul(t, z1z1)
+        h = f.sub(u2, P.x)
+        rr = f.double(f.sub(s2, P.y))
+        hh, r2, zh2 = f.square(jnp.stack([h, rr, f.add(P.z, h)]))
+        i4 = f.double(f.double(hh))
+        j, v = f.mul(jnp.stack([h, P.x]), jnp.stack([i4, i4]))
+        x3 = f.sub(f.sub(r2, j), f.double(v))
+        a, b = f.mul(jnp.stack([rr, P.y]), jnp.stack([f.sub(v, x3), j]))
+        y3 = f.sub(a, f.double(b))
+        z3 = f.sub(f.sub(zh2, z1z1), hh)
+        out = Points(x3, y3, z3)
+        return self.select(self.is_identity(P), Q, out)
+
     # -- helpers ----------------------------------------------------------------
     def scalar_mul(self, P: Points, k_bits: jnp.ndarray) -> Points:
         """Double-and-add; k_bits uint32 (nbits,) little-endian. For tests."""

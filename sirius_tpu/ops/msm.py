@@ -289,10 +289,15 @@ def _bucket_totals(curve: Curve, c: int, G: int, digits: jnp.ndarray, points: Po
     return Points(total_scan.x[:, 0], total_scan.y[:, 0], total_scan.z[:, 0])
 
 
-def _bucket_totals_onehot(curve: Curve, c: int, G: int, digits: jnp.ndarray, points: Points) -> Points:
+def _bucket_totals_onehot(curve: Curve, c: int, G: int, mixed: bool,
+                          digits: jnp.ndarray, points: Points) -> Points:
     """One-hot variant for small windows (c <= 5): the bucket row update is a
     masked select over B buckets instead of an XLA scatter — pure vector ops
     that fuse, trading B*L mask work (cheap) for scatter latency (dominant).
+
+    mixed=True uses the incomplete mixed add for the accumulation step
+    (inputs must be distinct non-identity affine points — the commitment-key
+    case; see `Curve.add_mixed_fast`).
     """
     W, n = digits.shape
     B = (1 << c) - 1
@@ -310,7 +315,7 @@ def _bucket_totals_onehot(curve: Curve, c: int, G: int, digits: jnp.ndarray, poi
         cur = Points(*((tc * oh[..., None]).sum(axis=2) for tc in table))
         e = Points(*(jnp.broadcast_to(pc[:, t][None], cur_c.shape)
                      for pc, cur_c in zip(Pg, cur)))
-        new = curve.add(cur, e)
+        new = curve.add_mixed_fast(cur, e) if mixed else curve.add(cur, e)
         return Points(*(
             jnp.where(oh[..., None], nc[:, :, None, :], tc)
             for tc, nc in zip(table, new)
@@ -340,9 +345,10 @@ def _bucket_totals_onehot(curve: Curve, c: int, G: int, digits: jnp.ndarray, poi
 
 
 @lru_cache(maxsize=None)
-def _bucket_totals_jit(curve: Curve, window_bits: int, G: int):
-    impl = _bucket_totals_onehot if window_bits <= 5 else _bucket_totals
-    return jax.jit(partial(impl, curve, window_bits, G))
+def _bucket_totals_jit(curve: Curve, window_bits: int, G: int, mixed: bool = False):
+    if window_bits <= 5:
+        return jax.jit(partial(_bucket_totals_onehot, curve, window_bits, G, mixed))
+    return jax.jit(partial(_bucket_totals, curve, window_bits, G))
 
 
 def msm_bucket(
@@ -351,8 +357,13 @@ def msm_bucket(
     points: Points,
     window_bits: int = WINDOW_BITS,
     group_count: int | None = None,
+    assume_distinct: bool = False,
 ):
-    """Bucket-table MSM; returns a host gold.AffinePoint like `msm_host`."""
+    """Bucket-table MSM; returns a host gold.AffinePoint like `msm_host`.
+
+    assume_distinct=True enables the incomplete mixed add for accumulation
+    (points must be distinct non-identity affine encodings, z = 1 — true
+    for commitment keys; a collision would be a discrete-log relation)."""
     n = scalars_std.shape[0]
     c = window_bits
     W = (NUM_LIMBS * LIMB_BITS) // c
@@ -373,7 +384,7 @@ def msm_bucket(
             for w in range(W)
         ]
     )
-    totals = _bucket_totals_jit(curve, c, G)(digits, points)
+    totals = _bucket_totals_jit(curve, c, G, assume_distinct and c <= 5)(digits, points)
 
     affine = curve.decode(totals)
     acc = affine[-1]
@@ -384,14 +395,18 @@ def msm_bucket(
     return acc
 
 
-def best_msm(curve: Curve, scalars_std: jnp.ndarray, points: Points):
+def best_msm(curve: Curve, scalars_std: jnp.ndarray, points: Points,
+             assume_distinct: bool = False):
     """Dispatch to the fastest device kernel for this size; returns a host
     gold.AffinePoint.  Large inputs use the one-hot bucket kernel (c=4,
     G=256: ~8x the scan kernel on TPU v5e); small ones the per-window scan
     (cheaper compile, adequate at small n)."""
     n = scalars_std.shape[0]
     if n >= 4096 and n % 256 == 0:
-        return msm_bucket(curve, scalars_std, points, window_bits=4, group_count=256)
+        return msm_bucket(
+            curve, scalars_std, points, window_bits=4, group_count=256,
+            assume_distinct=assume_distinct,
+        )
     return msm_host(curve, scalars_std, points, WINDOW_BITS)
 
 
