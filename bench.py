@@ -67,9 +67,9 @@ def main():
 
     # --- tpu/XLA backend (best_msm: one-hot bucket kernel at this size):
     # compile + warmup, then timed run
-    got_full = best_msm(curve, arr, ck.points)
+    got_full = best_msm(curve, arr, ck.points, assume_distinct=True)
     t0 = time.time()
-    got_full2 = best_msm(curve, arr, ck.points)
+    got_full2 = best_msm(curve, arr, ck.points, assume_distinct=True)
     dt = time.time() - t0
     assert (got_full2.x, got_full2.y) == (got_full.x, got_full.y)
     tpu_pts_per_sec = n / dt

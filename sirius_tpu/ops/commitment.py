@@ -89,7 +89,8 @@ class CommitmentKey:
             return gold.identity(self.curve.spec)
         pts = Points(self.points.x[:n], self.points.y[:n], self.points.z[:n])
         if window_bits is None:
-            return msm_ops.best_msm(self.curve, scalars, pts)
+            # key generators are distinct SVDW outputs -> mixed-add fast path
+            return msm_ops.best_msm(self.curve, scalars, pts, assume_distinct=True)
         res = msm_ops.msm_jitted(self.curve, scalars, pts, window_bits=window_bits)
         return self.curve.decode(Points(*(c[None] for c in res)))[0]
 

@@ -410,6 +410,94 @@ def best_msm(curve: Curve, scalars_std: jnp.ndarray, points: Points,
     return msm_host(curve, scalars_std, points, WINDOW_BITS)
 
 
+def msm_sharded(
+    curve: Curve,
+    scalars_std: jnp.ndarray,
+    points: Points,
+    mesh,
+    window_bits: int = 4,
+    group_count: int = 64,
+    assume_distinct: bool = False,
+):
+    """Multi-chip MSM: shard points/scalars row-wise over a 1-D mesh; every
+    device runs the bucket-table kernel on its shard (embarrassingly
+    parallel), producing per-device window totals; the D*W tiny Jacobian
+    totals are combined on the host (EC addition is not a psum-able monoid,
+    and D*W points are negligible next to the sharded accumulation).
+
+    Returns a host gold.AffinePoint.
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from ..fields import gold
+    from ..parallel.mesh import ROWS_AXIS, shard_rows
+
+    n = scalars_std.shape[0]
+    c = window_bits
+    W = (NUM_LIMBS * LIMB_BITS) // c
+    cmask = np.uint32((1 << c) - 1)
+    D = mesh.devices.size
+    G = group_count
+    chunk = G * ((n + D * G - 1) // (D * G))  # per-device size, multiple of G
+    pad = D * chunk - n
+    if pad:
+        scalars_std = jnp.concatenate(
+            [scalars_std, jnp.zeros((pad, scalars_std.shape[1]), scalars_std.dtype)]
+        )
+        ident = curve.identity((pad,))
+        points = Points(*(jnp.concatenate([pc, ic]) for pc, ic in zip(points, ident)))
+
+    digits = jnp.stack(
+        [
+            (scalars_std[:, (w * c) // LIMB_BITS] >> ((w * c) % LIMB_BITS)) & cmask
+            for w in range(W)
+        ]
+    )  # (W, D*chunk)
+    digits = shard_rows(mesh, digits, axis=1)
+    points = Points(*(shard_rows(mesh, pc, axis=0) for pc in points))
+
+    mixed = assume_distinct and c <= 5
+    impl = _bucket_totals_onehot if c <= 5 else _bucket_totals
+
+    def per_device(dg, px, py, pz):
+        totals = (
+            impl(curve, c, G, mixed, dg, Points(px, py, pz))
+            if c <= 5
+            else impl(curve, c, G, dg, Points(px, py, pz))
+        )
+        # (W, L) per device -> stack under a leading device-local axis of 1
+        return totals.x[None], totals.y[None], totals.z[None]
+
+    tx, ty, tz = jax.jit(
+        shard_map(
+            per_device,
+            mesh=mesh,
+            in_specs=(P(None, ROWS_AXIS), P(ROWS_AXIS), P(ROWS_AXIS), P(ROWS_AXIS)),
+            out_specs=(P(ROWS_AXIS), P(ROWS_AXIS), P(ROWS_AXIS)),
+            # loop carries start as unsharded constants (bucket tables of
+            # identities); skip the varying-manual-axes check
+            check_vma=False,
+        )
+    )(digits, points.x, points.y, points.z)
+    # (D, W) Jacobian totals -> host combine
+    per_dev = curve.decode(Points(tx.reshape(-1, tx.shape[-1]),
+                                  ty.reshape(-1, ty.shape[-1]),
+                                  tz.reshape(-1, tz.shape[-1])))
+    totals = []
+    for w in range(W):
+        acc = per_dev[w]
+        for d in range(1, D):
+            acc = acc.add(per_dev[d * W + w])
+        totals.append(acc)
+    acc = totals[-1]
+    for w in range(W - 2, -1, -1):
+        for _ in range(c):
+            acc = acc.double()
+        acc = acc.add(totals[w])
+    return acc
+
+
 def msm_naive(curve: Curve, scalars_std: jnp.ndarray, points: Points) -> Points:
     """Binary double-and-add reference kernel (for tests / tiny inputs)."""
     nbits = 16 * NUM_LIMBS

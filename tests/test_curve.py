@@ -100,3 +100,23 @@ def test_msm_bucket_vs_gold(n, c, G, rng):
     arr = jnp.asarray(ints_to_limbs(scalars))
     got = msm_bucket(curve, arr, curve.encode(pts), window_bits=c, group_count=G)
     assert got == gold.msm(scalars, pts)
+
+
+def test_msm_sharded_vs_gold(rng):
+    """Bucket MSM sharded over the virtual 8-device mesh (shard_map)."""
+    from sirius_tpu.ops.msm import msm_sharded
+    from sirius_tpu.parallel.mesh import make_mesh
+
+    curve = BN256_G1
+    n = 96  # non-divisible -> exercises padding
+    pts = rand_points(curve, rng, n)
+    scalars = [
+        int(a) | (int(b) << 63) | (int(cc) << 126) | (int(d) << 189)
+        for a, b, cc, d in rng.integers(0, 2**63, size=(n, 4))
+    ]
+    scalars = [s % curve.fs.p for s in scalars]
+    scalars[0] = 0
+    arr = jnp.asarray(ints_to_limbs(scalars))
+    mesh = make_mesh(8)
+    got = msm_sharded(curve, arr, curve.encode(pts), mesh, window_bits=4, group_count=8)
+    assert got == gold.msm(scalars, pts)

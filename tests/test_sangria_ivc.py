@@ -97,3 +97,46 @@ def test_sangria_ivc_step_circuit_instances():
     assert not errors, errors
     # the accumulated hash must change when instances change
     assert ivc.primary_relaxed.U.sc_instances_hash_acc is not None
+
+
+def test_sangria_ivc_merkle_step():
+    """Merkle-update step circuit (authentication-path witness + Poseidon
+    chip hashing) through one fold step."""
+    from sirius_tpu.fields.constants import bn256_fr
+    from sirius_tpu.gadgets.merkle_step_circuit import MerkleStepCircuit
+
+    sc = MerkleStepCircuit(bn256_fr, depth=3)
+    pp2 = PublicParams(
+        sc,
+        TrivialStepCircuit(arity=1),
+        k1=K, k2=K,
+        ck1=MockCommitmentKey(BN256_G1),
+        ck2=MockCommitmentKey(GRUMPKIN),
+    )
+    ivc = IVC(pp2, [sc.tree.root], [0])
+    ivc.fold_step()
+    errors = ivc.verify()
+    assert not errors, errors
+
+
+def test_sangria_ivc_lookup_step():
+    """Lookup-using step circuit: byte-table range checks upgrade the
+    primary to the 2-round SPS (2 W commitments, 2 challenges, degree-10
+    folding) — all shapes probed and folded on/off circuit.  k=17: the
+    extra W/challenge folds overflow the 2^16 region."""
+    from sirius_tpu.fields.constants import bn256_fr
+    from sirius_tpu.gadgets.range_step_circuit import RangeCheckStepCircuit
+
+    pp2 = PublicParams(
+        RangeCheckStepCircuit(bn256_fr),
+        TrivialStepCircuit(arity=1),
+        k1=17, k2=17,
+        ck1=MockCommitmentKey(BN256_G1),
+        ck2=MockCommitmentKey(GRUMPKIN),
+    )
+    assert pp2.primary_probe.num_challenges == 2
+    assert pp2.primary_probe.num_witness == 2
+    ivc = IVC(pp2, [7], [0])
+    ivc.fold_step()
+    errors = ivc.verify()
+    assert not errors, errors
