@@ -49,6 +49,23 @@ def _roll_fill(P: Points, ident: Points, shift, axis: int, forward: bool):
     return Points(*(jnp.where(keep, r, i) for r, i in zip(rolled, ident)))
 
 
+
+def _extract_digits(scalars_std: jnp.ndarray, c: int) -> jnp.ndarray:
+    """(W, n) c-bit windows of (n, NUM_LIMBS) standard-form limbs; handles
+    windows straddling limb boundaries (any c <= LIMB_BITS)."""
+    W = (NUM_LIMBS * LIMB_BITS + c - 1) // c
+    cmask = np.uint32((1 << c) - 1)
+    out = []
+    for w in range(W):
+        bit0 = w * c
+        limb, off = divmod(bit0, LIMB_BITS)
+        d = scalars_std[:, limb] >> off
+        if off + c > LIMB_BITS and limb + 1 < NUM_LIMBS:
+            d = d | (scalars_std[:, limb + 1] << (LIMB_BITS - off))
+        out.append(d & cmask)
+    return jnp.stack(out)
+
+
 def msm(curve: Curve, scalars_std: jnp.ndarray, points: Points, window_bits: int = WINDOW_BITS) -> Points:
     """MSM over fixed-width windows (batched across windows).
 
@@ -366,8 +383,6 @@ def msm_bucket(
     for commitment keys; a collision would be a discrete-log relation)."""
     n = scalars_std.shape[0]
     c = window_bits
-    W = (NUM_LIMBS * LIMB_BITS) // c
-    cmask = np.uint32((1 << c) - 1)
     G = group_count or (1 << min(7, max(n.bit_length() - 1, 0)))
     if n % G:
         pad = G - n % G
@@ -378,12 +393,8 @@ def msm_bucket(
         points = Points(*(jnp.concatenate([pc, ic]) for pc, ic in zip(points, ident)))
         n += pad
 
-    digits = jnp.stack(
-        [
-            (scalars_std[:, (w * c) // LIMB_BITS] >> ((w * c) % LIMB_BITS)) & cmask
-            for w in range(W)
-        ]
-    )
+    digits = _extract_digits(scalars_std, c)
+    W = digits.shape[0]
     totals = _bucket_totals_jit(curve, c, G, assume_distinct and c <= 5)(digits, points)
 
     affine = curve.decode(totals)
@@ -435,8 +446,6 @@ def msm_sharded(
 
     n = scalars_std.shape[0]
     c = window_bits
-    W = (NUM_LIMBS * LIMB_BITS) // c
-    cmask = np.uint32((1 << c) - 1)
     D = mesh.devices.size
     G = group_count
     chunk = G * ((n + D * G - 1) // (D * G))  # per-device size, multiple of G
@@ -448,12 +457,8 @@ def msm_sharded(
         ident = curve.identity((pad,))
         points = Points(*(jnp.concatenate([pc, ic]) for pc, ic in zip(points, ident)))
 
-    digits = jnp.stack(
-        [
-            (scalars_std[:, (w * c) // LIMB_BITS] >> ((w * c) % LIMB_BITS)) & cmask
-            for w in range(W)
-        ]
-    )  # (W, D*chunk)
+    digits = _extract_digits(scalars_std, c)  # (W, D*chunk)
+    W = digits.shape[0]
     digits = shard_rows(mesh, digits, axis=1)
     points = Points(*(shard_rows(mesh, pc, axis=0) for pc in points))
 

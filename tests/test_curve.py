@@ -120,3 +120,20 @@ def test_msm_sharded_vs_gold(rng):
     mesh = make_mesh(8)
     got = msm_sharded(curve, arr, curve.encode(pts), mesh, window_bits=4, group_count=8)
     assert got == gold.msm(scalars, pts)
+
+
+def test_msm_bucket_c5_cross_limb(rng):
+    """c=5 windows straddle 16-bit limb boundaries (general extraction)."""
+    from sirius_tpu.ops.msm import msm_bucket
+
+    curve = BN256_G1
+    n = 48
+    pts = rand_points(curve, rng, n)
+    scalars = [
+        (int(a) | (int(b) << 63) | (int(cc) << 126) | (int(d) << 189)) % curve.fs.p
+        for a, b, cc, d in rng.integers(0, 2**63, size=(n, 4))
+    ]
+    arr = jnp.asarray(ints_to_limbs(scalars))
+    got = msm_bucket(curve, arr, curve.encode(pts), window_bits=5, group_count=16,
+                     assume_distinct=True)
+    assert got == gold.msm(scalars, pts)

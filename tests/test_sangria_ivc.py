@@ -140,3 +140,24 @@ def test_sangria_ivc_lookup_step():
     ivc.fold_step()
     errors = ivc.verify()
     assert not errors, errors
+
+
+def test_sangria_ivc_vector_lookup_step():
+    """Vector (multi-column) lookup step circuit -> 3-round SPS (3 W
+    commitments, 3 challenges), completing the 0/1/2/3-round SPS matrix."""
+    from sirius_tpu.fields.constants import bn256_fr
+    from sirius_tpu.gadgets.xor_step_circuit import XorStepCircuit
+
+    pp2 = PublicParams(
+        XorStepCircuit(bn256_fr),
+        TrivialStepCircuit(arity=1),
+        k1=17, k2=17,
+        ck1=MockCommitmentKey(BN256_G1),
+        ck2=MockCommitmentKey(GRUMPKIN),
+    )
+    assert pp2.primary_probe.num_challenges == 3
+    assert pp2.primary_probe.num_witness == 3
+    ivc = IVC(pp2, [5], [0])
+    ivc.fold_step()
+    errors = ivc.verify()
+    assert not errors, errors
