@@ -10,8 +10,11 @@ sys.path.insert(0, ".")
 
 def main():
     ap = argparse.ArgumentParser(prog="sirius-tpu-cli")
-    ap.add_argument("mode", choices=["sangria-trivial", "sangria-poseidon", "bench-msm"],
-                    help="which pipeline to run")
+    ap.add_argument("mode", choices=[
+        "sangria-trivial", "sangria-poseidon", "sangria-instances",
+        "sangria-merkle", "sangria-range-lookup", "sangria-xor-lookup",
+        "cyclefold-trivial", "cyclefold-poseidon", "bench-msm",
+    ], help="which pipeline to run")
     ap.add_argument("--fold-steps", type=int, default=1)
     ap.add_argument("--primary-k", type=int, default=16)
     ap.add_argument("--repeat-count", type=int, default=1)
@@ -39,6 +42,21 @@ def main():
         from examples.sangria_poseidon import main as m
 
         return m()
+    simple = {
+        "sangria-instances": "examples.instances",
+        "sangria-merkle": "examples.merkle_tree",
+        "sangria-range-lookup": "examples.range_lookup",
+        "sangria-xor-lookup": "examples.xor_lookup",
+        "cyclefold-trivial": "examples.cyclefold_trivial",
+        "cyclefold-poseidon": "examples.cyclefold_poseidon",
+    }
+    if args.mode in simple:
+        import importlib
+
+        sys.argv = ["x", "--fold-steps", str(args.fold_steps)] + (
+            ["--cpu"] if args.cpu else []
+        )
+        return importlib.import_module(simple[args.mode]).main()
     if args.mode == "bench-msm":
         import bench
 
