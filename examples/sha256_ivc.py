@@ -1,0 +1,58 @@
+#!/usr/bin/env python
+"""Sangria IVC with a SHA-256 compression step circuit (capability
+analogue of the reference's `examples/sha256` table16 pipeline):
+z_{i+1} = truncate(sha256_compress(IV, words(z_i) || domain)).  ~65k
+MainGate rows per step, bitwise ch/maj/sigma gates."""
+
+import argparse
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--fold-steps", type=int, default=1)
+    ap.add_argument("--k", type=int, default=17)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/tmp/sirius_tpu_xla_cache")
+
+    from sirius_tpu.curves.jpoint import BN256_G1, GRUMPKIN
+    from sirius_tpu.fields.constants import bn256_fr
+    from sirius_tpu.gadgets.sha256_step_circuit import Sha256StepCircuit
+    from sirius_tpu.ivc.sangria_ivc import IVC, PublicParams
+    from sirius_tpu.ivc.step_circuit import TrivialStepCircuit
+    from sirius_tpu.util.testing import MockCommitmentKey
+
+    t0 = time.time()
+    pp = PublicParams(
+        Sha256StepCircuit(bn256_fr),
+        TrivialStepCircuit(arity=1),
+        k1=args.k, k2=args.k,
+        ck1=MockCommitmentKey(BN256_G1), ck2=MockCommitmentKey(GRUMPKIN),
+    )
+    print(f"public params: {time.time() - t0:.2f}s "
+          f"(primary probe: ct={pp.primary_probe.num_cross_terms}, "
+          f"nc={pp.primary_probe.num_challenges}, nw={pp.primary_probe.num_witness})")
+    t0 = time.time()
+    ivc = IVC(pp, [7], [0])
+    print(f"ivc_new: {time.time() - t0:.2f}s")
+    for i in range(args.fold_steps):
+        t0 = time.time()
+        ivc.fold_step()
+        print(f"ivc_next {i}: {time.time() - t0:.2f}s")
+    t0 = time.time()
+    errors = ivc.verify()
+    print(f"ivc_verify: {time.time() - t0:.2f}s ->", "OK" if not errors else errors)
+    return 0 if not errors else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -361,6 +361,74 @@ def _bucket_totals_onehot(curve: Curve, c: int, G: int, mixed: bool,
     return Points(total_scan.x[:, 0], total_scan.y[:, 0], total_scan.z[:, 0])
 
 
+def _bucket_totals_onehot_pallas(curve: Curve, c: int, G: int, digits: jnp.ndarray, points: Points) -> Points:
+    """One-hot bucket kernel with the accumulation add fused as a Pallas
+    kernel (limb-first layout; ~1.45x the XLA mixed add on v5e).  Same
+    distinct-points contract as the mixed add."""
+    from .pallas_madd import _madd_call
+
+    L = points.x.shape[-1]
+    W, n = digits.shape
+    B = (1 << c) - 1
+    g = n // G
+    lanes = W * G
+    assert lanes % 128 == 0, "W*G must be a multiple of 128 for the pallas path"
+    S = lanes // 128
+
+    dg = digits.reshape(W, G, g)
+    # limb-first: (L, G, g) points, (L, W, G, B) table
+    Pg = Points(*(jnp.transpose(p, (1, 0)).reshape(L, G, g) for p in points))
+    identity_flat = curve.identity((W, G, B))
+    table = Points(*(jnp.transpose(tc, (3, 0, 1, 2)) for tc in identity_flat))
+    vs = jnp.arange(1, B + 1, dtype=jnp.uint32)
+    call = _madd_call(curve, S)
+
+    def body(t, table):
+        v = dg[:, :, t]  # (W, G)
+        oh = v[..., None] == vs  # (W, G, B)
+        cur = Points(*((tc * oh[None]).sum(axis=3) for tc in table))  # (L, W, G)
+        e = Points(*(jnp.broadcast_to(pc[:, None, :, t], cur_c.shape)
+                     for pc, cur_c in zip(Pg, cur)))
+
+        def tile(a):
+            return a.reshape(L, S, 128)
+
+        nx, ny, nz = call(tile(cur.x), tile(cur.y), tile(cur.z), tile(e.x), tile(e.y))
+        new = Points(nx.reshape(L, W, G), ny.reshape(L, W, G), nz.reshape(L, W, G))
+        return Points(*(
+            jnp.where(oh[None], nc[..., None], tc) for tc, nc in zip(table, new)
+        ))
+
+    table = jax.lax.fori_loop(0, g, body, table)
+    # back to limb-last for the generic tree/suffix stages
+    table = Points(*(jnp.transpose(tc, (1, 2, 3, 0)) for tc in table))
+
+    assert G & (G - 1) == 0, "group count must be a power of two"
+    while table.x.shape[1] > 1:
+        h = table.x.shape[1] // 2
+        lo = Points(*(tc[:, :h] for tc in table))
+        hi = Points(*(tc[:, h:] for tc in table))
+        table = curve.add(lo, hi)
+    buckets = Points(*(tc[:, 0] for tc in table))  # (W, B)
+
+    bsteps = max((B - 1).bit_length(), 1)
+    identWB = curve.identity((W, B))
+
+    def suf_body(j, Pc):
+        shift = jnp.int32(1) << j
+        Pnext = _roll_fill(Pc, identWB, shift, axis=1, forward=False)
+        return curve.add(Pc, Pnext)
+
+    suffix = jax.lax.fori_loop(0, bsteps, suf_body, buckets)
+    total_scan = jax.lax.fori_loop(0, bsteps, suf_body, suffix)
+    return Points(total_scan.x[:, 0], total_scan.y[:, 0], total_scan.z[:, 0])
+
+
+@lru_cache(maxsize=None)
+def _bucket_totals_pallas_jit(curve: Curve, window_bits: int, G: int):
+    return jax.jit(partial(_bucket_totals_onehot_pallas, curve, window_bits, G))
+
+
 @lru_cache(maxsize=None)
 def _bucket_totals_jit(curve: Curve, window_bits: int, G: int, mixed: bool = False):
     if window_bits <= 5:
@@ -375,12 +443,15 @@ def msm_bucket(
     window_bits: int = WINDOW_BITS,
     group_count: int | None = None,
     assume_distinct: bool = False,
+    use_pallas: bool = False,
 ):
     """Bucket-table MSM; returns a host gold.AffinePoint like `msm_host`.
 
     assume_distinct=True enables the incomplete mixed add for accumulation
     (points must be distinct non-identity affine encodings, z = 1 — true
-    for commitment keys; a collision would be a discrete-log relation)."""
+    for commitment keys; a collision would be a discrete-log relation).
+    use_pallas=True additionally fuses that add as a Pallas kernel (TPU;
+    requires assume_distinct and W*G % 128 == 0)."""
     n = scalars_std.shape[0]
     c = window_bits
     G = group_count or (1 << min(7, max(n.bit_length() - 1, 0)))
@@ -395,7 +466,10 @@ def msm_bucket(
 
     digits = _extract_digits(scalars_std, c)
     W = digits.shape[0]
-    totals = _bucket_totals_jit(curve, c, G, assume_distinct and c <= 5)(digits, points)
+    if use_pallas and assume_distinct and c <= 5 and (W * G) % 128 == 0:
+        totals = _bucket_totals_pallas_jit(curve, c, G)(digits, points)
+    else:
+        totals = _bucket_totals_jit(curve, c, G, assume_distinct and c <= 5)(digits, points)
 
     affine = curve.decode(totals)
     acc = affine[-1]
@@ -417,6 +491,9 @@ def best_msm(curve: Curve, scalars_std: jnp.ndarray, points: Points,
         return msm_bucket(
             curve, scalars_std, points, window_bits=4, group_count=256,
             assume_distinct=assume_distinct,
+            # the fused Pallas accumulation add is ~1.45x the XLA mixed add
+            # on TPU; Mosaic kernels don't run on the CPU backend
+            use_pallas=assume_distinct and jax.default_backend() == "tpu",
         )
     return msm_host(curve, scalars_std, points, WINDOW_BITS)
 

@@ -161,3 +161,23 @@ def test_sangria_ivc_vector_lookup_step():
     ivc.fold_step()
     errors = ivc.verify()
     assert not errors, errors
+
+
+def test_sangria_ivc_sha256_step():
+    """SHA-256 compression step circuit (~65k bitwise MainGate rows):
+    circuit output is FIPS-exact (validated standalone vs hashlib-checked
+    host model) and folds through the 2-cycle at k=17."""
+    from sirius_tpu.fields.constants import bn256_fr
+    from sirius_tpu.gadgets.sha256_step_circuit import Sha256StepCircuit
+
+    pp2 = PublicParams(
+        Sha256StepCircuit(bn256_fr),
+        TrivialStepCircuit(arity=1),
+        k1=17, k2=17,
+        ck1=MockCommitmentKey(BN256_G1),
+        ck2=MockCommitmentKey(GRUMPKIN),
+    )
+    ivc = IVC(pp2, [0xABCDEF], [0])
+    ivc.fold_step()
+    errors = ivc.verify()
+    assert not errors, errors
