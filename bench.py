@@ -88,6 +88,21 @@ def main():
         dt_native = time.time() - t0
         native_pts_per_sec = n / dt_native
 
+    # --- secondary metric: radix-2 NTT throughput (SURVEY §6 target)
+    ntt_elems_per_sec = 0.0
+    try:
+        from sirius_tpu.fields.jfield import FR
+        from sirius_tpu.ops.ntt import NTT
+
+        ntt = NTT(FR, log_n)
+        coeffs = FR.encode([int(x) for x in rng.integers(0, 2**62, size=n)])
+        ntt.fft(coeffs).block_until_ready()  # compile + warm
+        t0 = time.time()
+        ntt.fft(coeffs).block_until_ready()
+        ntt_elems_per_sec = n / (time.time() - t0)
+    except Exception:
+        pass  # NTT metric is best-effort; the headline stays commit MSM
+
     value = max(tpu_pts_per_sec, native_pts_per_sec)
     best = "native" if native_pts_per_sec > tpu_pts_per_sec else backend
     print(
@@ -101,6 +116,7 @@ def main():
                 "tpu_points_per_sec": round(tpu_pts_per_sec, 1),
                 "native_points_per_sec": round(native_pts_per_sec, 1),
                 "native_threads": min(os.cpu_count() or 1, 16),
+                "ntt_elems_per_sec": round(ntt_elems_per_sec, 1),
             }
         )
     )

@@ -95,3 +95,70 @@ class FiboCircuit:
             b2 = (a2 + b) % p
             a, b = a2, b2
         return [[b, 0]]
+
+
+XOR_BITS = 2  # 2-bit XOR table: 16 rows, fits K >= 4
+
+
+@dataclass
+class FiboXorLookupCircuit:
+    """Fibonacci-with-XOR chain via a vector lookup (reference
+    `fibo_circuit_with_lookup`, `nifs/tests.rs:232`): each row proves
+    c = a XOR b with (a, b, c) looked up in a fixed 3-column XOR table.
+    Exercises the 3-round SPS / vector-lookup path under folding."""
+
+    a: int
+    b: int
+    num: int
+
+    def configure(self, cs: ConstraintSystemBuilder):
+        col_a = cs.advice_column()
+        col_b = cs.advice_column()
+        col_c = cs.advice_column()
+        s = cs.selector()
+        t_a = cs.fixed_column()
+        t_b = cs.fixed_column()
+        t_c = cs.fixed_column()
+        inst = cs.instance_column()
+        sq = cs.query(s)
+        cs.lookup(
+            [sq * cs.query(col_a), sq * cs.query(col_b), sq * cs.query(col_c)],
+            [cs.query(t_a), cs.query(t_b), cs.query(t_c)],
+        )
+        # chain gate: next a = b, next b = c (keeps a non-lookup gate in play)
+        a2, b2 = cs.query(col_a, 1), cs.query(col_b, 1)
+        cs.create_gate(
+            "xor-chain", [sq * (a2 - cs.query(col_b)), sq * (b2 - cs.query(col_c))]
+        )
+        return (col_a, col_b, col_c, s, t_a, t_b, t_c, inst)
+
+    def _seq(self, p: int):
+        mask = (1 << XOR_BITS) - 1
+        a, b = self.a & mask, self.b & mask
+        rows = []
+        for _ in range(self.num):
+            c = a ^ b
+            rows.append((a, b, c))
+            a, b = b, c
+        return rows
+
+    def synthesize(self, config, asn: Assignment):
+        col_a, col_b, col_c, s, t_a, t_b, t_c, inst = config
+        n = 1 << XOR_BITS
+        for x in range(n):
+            for y in range(n):
+                row = x * n + y
+                asn.assign_fixed(t_a, row, x)
+                asn.assign_fixed(t_b, row, y)
+                asn.assign_fixed(t_c, row, x ^ y)
+        rows = self._seq(asn.p)
+        for idx, (a, b, c) in enumerate(rows):
+            if idx + 1 < len(rows):
+                asn.enable_selector(s, idx)
+            asn.assign_advice(col_a, idx, a)
+            asn.assign_advice(col_b, idx, b)
+            asn.assign_advice(col_c, idx, c)
+        asn.copy(col_c, len(rows) - 1, inst, 0)
+
+    def instances(self, p: int) -> list[list[int]]:
+        return [[self._seq(p)[-1][2], 0]]

@@ -18,7 +18,7 @@ from sirius_tpu.ops.poseidon import PoseidonHash, poseidon_spec
 from sirius_tpu.curves.jpoint import BN256_G1
 from sirius_tpu.plonk.sps import run_sps_protocol
 
-from fixtures import FiboCircuit, SquareCircuit
+from fixtures import FiboCircuit, FiboXorLookupCircuit, SquareCircuit
 
 K = 4
 
@@ -85,3 +85,13 @@ def test_protogalaxy_fibo_L1(ck):
 
 def test_protogalaxy_fibo_L3(ck):
     run_mock(FiboCircuit, [(1, 1, 10), (2, 3, 10), (3, 5, 10)], ck)
+
+
+def test_protogalaxy_fibo_lookup_L1(ck):
+    """Reference `nifs/protogalaxy/tests.rs` fibo-lookup analogue: PG fold
+    of a 3-round-SPS vector-lookup trace (challenges + lookup vars in F/G)."""
+    run_mock(FiboXorLookupCircuit, [(1, 2, 8)], ck)
+
+
+def test_protogalaxy_fibo_lookup_L3(ck):
+    run_mock(FiboXorLookupCircuit, [(1, 2, 8), (3, 1, 8), (2, 3, 8)], ck)
