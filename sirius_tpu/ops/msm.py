@@ -66,6 +66,31 @@ def _extract_digits(scalars_std: jnp.ndarray, c: int) -> jnp.ndarray:
     return jnp.stack(out)
 
 
+def _extract_digits_signed(scalars_std: jnp.ndarray, c: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Signed-digit windows: (W+1, n) magnitudes in [0, 2^(c-1)] plus a
+    negation mask, with scalar = sum_w sign_w * mag_w * 2^(c*w).
+
+    Signed digits halve the bucket count (B = 2^(c-1) instead of 2^c - 1):
+    a negative digit adds the negated point (free: y -> -y) to bucket
+    |digit|.  This buys one extra window bit at the same one-hot select
+    cost, cutting the accumulation adds by ~c/(c+1)."""
+    d = _extract_digits(scalars_std, c)  # (W, n) in [0, 2^c)
+    W, n = d.shape
+    half = np.uint32(1 << (c - 1))
+    full = np.uint32(1 << c)
+    mags, negs = [], []
+    carry = jnp.zeros((n,), jnp.uint32)
+    for w in range(W):
+        v = d[w] + carry
+        neg = v > half
+        mags.append(jnp.where(neg, full - v, v))
+        negs.append(neg)
+        carry = jnp.where(neg, jnp.uint32(1), jnp.uint32(0))
+    mags.append(carry)  # final carry window, always non-negative
+    negs.append(jnp.zeros((n,), bool))
+    return jnp.stack(mags), jnp.stack(negs)
+
+
 def msm(curve: Curve, scalars_std: jnp.ndarray, points: Points, window_bits: int = WINDOW_BITS) -> Points:
     """MSM over fixed-width windows (batched across windows).
 
@@ -307,7 +332,8 @@ def _bucket_totals(curve: Curve, c: int, G: int, digits: jnp.ndarray, points: Po
 
 
 def _bucket_totals_onehot(curve: Curve, c: int, G: int, mixed: bool,
-                          digits: jnp.ndarray, points: Points) -> Points:
+                          digits: jnp.ndarray, negs: jnp.ndarray | None,
+                          points: Points) -> Points:
     """One-hot variant for small windows (c <= 5): the bucket row update is a
     masked select over B buckets instead of an XLA scatter — pure vector ops
     that fuse, trading B*L mask work (cheap) for scatter latency (dominant).
@@ -315,13 +341,18 @@ def _bucket_totals_onehot(curve: Curve, c: int, G: int, mixed: bool,
     mixed=True uses the incomplete mixed add for the accumulation step
     (inputs must be distinct non-identity affine points — the commitment-key
     case; see `Curve.add_mixed_fast`).
+
+    negs (same shape as digits) marks signed-digit windows whose point enters
+    its bucket negated (B = 2^(c-1) buckets instead of 2^c - 1).
     """
     W, n = digits.shape
-    B = (1 << c) - 1
+    B = (1 << (c - 1)) if negs is not None else (1 << c) - 1
     g = n // G
 
     dg = digits.reshape(W, G, g)
     Pg = Points(*(p.reshape(G, g, *p.shape[1:]) for p in points))
+    neg_y = curve.fb.neg(points.y).reshape(G, g, -1) if negs is not None else None
+    ng = negs.reshape(W, G, g) if negs is not None else None
     vs = jnp.arange(1, B + 1, dtype=jnp.uint32)
     table = curve.identity((W, G, B))
 
@@ -330,8 +361,12 @@ def _bucket_totals_onehot(curve: Curve, c: int, G: int, mixed: bool,
         oh = v[..., None] == vs  # (W, G, B); all-false for dead v=0
         # masked gather: exactly one bucket matches, so the sum is exact
         cur = Points(*((tc * oh[..., None]).sum(axis=2) for tc in table))
-        e = Points(*(jnp.broadcast_to(pc[:, t][None], cur_c.shape)
-                     for pc, cur_c in zip(Pg, cur)))
+        ex, ey, ez = (jnp.broadcast_to(pc[:, t][None], cur_c.shape)
+                      for pc, cur_c in zip(Pg, cur))
+        if negs is not None:
+            ey = jnp.where(ng[:, :, t][..., None],
+                           jnp.broadcast_to(neg_y[:, t][None], ey.shape), ey)
+        e = Points(ex, ey, ez)
         new = curve.add_mixed_fast(cur, e) if mixed else curve.add(cur, e)
         return Points(*(
             jnp.where(oh[..., None], nc[:, :, None, :], tc)
@@ -361,15 +396,17 @@ def _bucket_totals_onehot(curve: Curve, c: int, G: int, mixed: bool,
     return Points(total_scan.x[:, 0], total_scan.y[:, 0], total_scan.z[:, 0])
 
 
-def _bucket_totals_onehot_pallas(curve: Curve, c: int, G: int, digits: jnp.ndarray, points: Points) -> Points:
+def _bucket_totals_onehot_pallas(curve: Curve, c: int, G: int, digits: jnp.ndarray,
+                                 negs: jnp.ndarray | None, points: Points) -> Points:
     """One-hot bucket kernel with the accumulation add fused as a Pallas
     kernel (limb-first layout; ~1.45x the XLA mixed add on v5e).  Same
-    distinct-points contract as the mixed add."""
+    distinct-points contract as the mixed add.  negs enables signed-digit
+    windows (B = 2^(c-1))."""
     from .pallas_madd import _madd_call
 
     L = points.x.shape[-1]
     W, n = digits.shape
-    B = (1 << c) - 1
+    B = (1 << (c - 1)) if negs is not None else (1 << c) - 1
     g = n // G
     lanes = W * G
     assert lanes % 128 == 0, "W*G must be a multiple of 128 for the pallas path"
@@ -378,6 +415,12 @@ def _bucket_totals_onehot_pallas(curve: Curve, c: int, G: int, digits: jnp.ndarr
     dg = digits.reshape(W, G, g)
     # limb-first: (L, G, g) points, (L, W, G, B) table
     Pg = Points(*(jnp.transpose(p, (1, 0)).reshape(L, G, g) for p in points))
+    neg_y = (
+        jnp.transpose(curve.fb.neg(points.y), (1, 0)).reshape(L, G, g)
+        if negs is not None
+        else None
+    )
+    ng = negs.reshape(W, G, g) if negs is not None else None
     identity_flat = curve.identity((W, G, B))
     table = Points(*(jnp.transpose(tc, (3, 0, 1, 2)) for tc in identity_flat))
     vs = jnp.arange(1, B + 1, dtype=jnp.uint32)
@@ -387,8 +430,12 @@ def _bucket_totals_onehot_pallas(curve: Curve, c: int, G: int, digits: jnp.ndarr
         v = dg[:, :, t]  # (W, G)
         oh = v[..., None] == vs  # (W, G, B)
         cur = Points(*((tc * oh[None]).sum(axis=3) for tc in table))  # (L, W, G)
-        e = Points(*(jnp.broadcast_to(pc[:, None, :, t], cur_c.shape)
-                     for pc, cur_c in zip(Pg, cur)))
+        ex, ey, ez = (jnp.broadcast_to(pc[:, None, :, t], cur_c.shape)
+                      for pc, cur_c in zip(Pg, cur))
+        if negs is not None:
+            ey = jnp.where(ng[:, :, t][None],
+                           jnp.broadcast_to(neg_y[:, None, :, t], ey.shape), ey)
+        e = Points(ex, ey, ez)
 
         def tile(a):
             return a.reshape(L, S, 128)
@@ -431,9 +478,15 @@ def _bucket_totals_pallas_jit(curve: Curve, window_bits: int, G: int):
 
 @lru_cache(maxsize=None)
 def _bucket_totals_jit(curve: Curve, window_bits: int, G: int, mixed: bool = False):
-    if window_bits <= 5:
+    if window_bits <= 6:
         return jax.jit(partial(_bucket_totals_onehot, curve, window_bits, G, mixed))
-    return jax.jit(partial(_bucket_totals, curve, window_bits, G))
+
+    def unsigned(digits, negs, points):
+        # negs is None here (an empty pytree under jit): the wide-window
+        # scatter path has no signed-digit variant
+        return _bucket_totals(curve, window_bits, G, digits, points)
+
+    return jax.jit(unsigned)
 
 
 def msm_bucket(
@@ -444,6 +497,7 @@ def msm_bucket(
     group_count: int | None = None,
     assume_distinct: bool = False,
     use_pallas: bool = False,
+    signed_digits: bool = False,
 ):
     """Bucket-table MSM; returns a host gold.AffinePoint like `msm_host`.
 
@@ -451,7 +505,9 @@ def msm_bucket(
     (points must be distinct non-identity affine encodings, z = 1 — true
     for commitment keys; a collision would be a discrete-log relation).
     use_pallas=True additionally fuses that add as a Pallas kernel (TPU;
-    requires assume_distinct and W*G % 128 == 0)."""
+    requires assume_distinct and W*G % 128 == 0).
+    signed_digits=True uses signed windows (half the buckets per window:
+    one extra window bit at the same one-hot cost)."""
     n = scalars_std.shape[0]
     c = window_bits
     G = group_count or (1 << min(7, max(n.bit_length() - 1, 0)))
@@ -464,12 +520,17 @@ def msm_bucket(
         points = Points(*(jnp.concatenate([pc, ic]) for pc, ic in zip(points, ident)))
         n += pad
 
-    digits = _extract_digits(scalars_std, c)
-    W = digits.shape[0]
-    if use_pallas and assume_distinct and c <= 5 and (W * G) % 128 == 0:
-        totals = _bucket_totals_pallas_jit(curve, c, G)(digits, points)
+    if signed_digits:
+        digits, negs = _extract_digits_signed(scalars_std, c)
     else:
-        totals = _bucket_totals_jit(curve, c, G, assume_distinct and c <= 5)(digits, points)
+        digits, negs = _extract_digits(scalars_std, c), None
+    W = digits.shape[0]
+    if use_pallas and assume_distinct and c <= 6 and (W * G) % 128 == 0:
+        totals = _bucket_totals_pallas_jit(curve, c, G)(digits, negs, points)
+    else:
+        totals = _bucket_totals_jit(curve, c, G, assume_distinct and c <= 6)(
+            digits, negs, points
+        )
 
     affine = curve.decode(totals)
     acc = affine[-1]
@@ -544,7 +605,7 @@ def msm_sharded(
 
     def per_device(dg, px, py, pz):
         totals = (
-            impl(curve, c, G, mixed, dg, Points(px, py, pz))
+            impl(curve, c, G, mixed, dg, None, Points(px, py, pz))
             if c <= 5
             else impl(curve, c, G, dg, Points(px, py, pz))
         )

@@ -122,6 +122,30 @@ def test_msm_sharded_vs_gold(rng):
     assert got == gold.msm(scalars, pts)
 
 
+@pytest.mark.parametrize("c", [4, 5])
+def test_msm_bucket_signed_digits(c, rng):
+    """Signed-digit windows (B = 2^(c-1) buckets, negated-point adds,
+    carry chain incl. the extra top window) vs gold."""
+    from sirius_tpu.ops.msm import msm_bucket
+
+    curve = BN256_G1
+    n = 48
+    pts = rand_points(curve, rng, n)
+    scalars = [
+        (int(a) | (int(b) << 63) | (int(cc) << 126) | (int(d) << 189)) % curve.fs.p
+        for a, b, cc, d in rng.integers(0, 2**63, size=(n, 4))
+    ]
+    # edge scalars: zero, one, p-1 (max carries), all-high-digit value
+    scalars[0] = 0
+    scalars[1] = 1
+    scalars[2] = curve.fs.p - 1
+    scalars[3] = int("f" * 63, 16) % curve.fs.p
+    arr = jnp.asarray(ints_to_limbs(scalars))
+    got = msm_bucket(curve, arr, curve.encode(pts), window_bits=c, group_count=16,
+                     signed_digits=True)
+    assert got == gold.msm(scalars, pts)
+
+
 def test_msm_bucket_c5_cross_limb(rng):
     """c=5 windows straddle 16-bit limb boundaries (general extraction)."""
     from sirius_tpu.ops.msm import msm_bucket
