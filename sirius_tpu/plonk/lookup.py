@@ -10,9 +10,13 @@ five per-row vectors are (l, t, m, h, g):
     g = m/(t + r)
     sum h == sum g   (log-derivative identity)
 
-l/t evaluation is row-parallel on device; the multiplicity count and h/g use
-host ints + device batch-invert for now (sort/segment-sum device path is a
-planned kernel; SURVEY.md §2.8 item "m-count becomes sort/segment-sum").
+l/t evaluation is row-parallel on device.  The multiplicity count has two
+paths: a host hashmap (the reference semantics, used as gold and for tiny
+tables) and a device sort/search kernel (SURVEY.md §2.8 item "m-count
+becomes sort/segment-sum"): lexicographic sort of t's limbs, stable so the
+sorted group head is the first original occurrence, then a vectorized
+leftmost binary search of every l row and a scatter-add of ones.  h/g use
+the device Montgomery batch inversion.
 """
 
 from __future__ import annotations
@@ -32,6 +36,55 @@ from ..poly.expression import (
     Query,
     compress_expression,
 )
+
+
+def _lex_less(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Row-wise lexicographic a < b over little-endian limb rows (n, L)."""
+    L = a.shape[-1]
+    lt = jnp.zeros(a.shape[0], bool)
+    decided = jnp.zeros(a.shape[0], bool)
+    for i in reversed(range(L)):  # most-significant limb first
+        ai, bi = a[:, i], b[:, i]
+        lt = jnp.where(~decided & (ai < bi), True, lt)
+        decided = decided | (ai != bi)
+    return lt
+
+
+@jax.jit
+def _device_m_count(l_enc: jnp.ndarray, t_enc: jnp.ndarray) -> jnp.ndarray:
+    """m per original t row: count of l rows equal to it, attributed to the
+    first occurrence only (bit-identical to the host hashmap semantics —
+    counting depends only on equality, which the canonical limb encoding
+    preserves)."""
+    n, L = t_enc.shape
+    # stable lexsort, most-significant limb as primary key -> within an
+    # equal group, original indices ascend, so the group head IS the first
+    # original occurrence
+    order = jnp.lexsort(tuple(t_enc[:, i] for i in range(L)))
+    ts = t_enc[order]
+    head = jnp.any(ts != jnp.roll(ts, 1, axis=0), axis=1).at[0].set(True)
+
+    # leftmost binary search of each l row in the sorted table
+    steps = max(n.bit_length(), 1)
+    lo = jnp.zeros((l_enc.shape[0],), jnp.int32)
+    hi = jnp.full((l_enc.shape[0],), n, jnp.int32)
+
+    def body(_, lohi):
+        lo, hi = lohi
+        mid = (lo + hi) // 2
+        lt = _lex_less(ts[jnp.clip(mid, 0, n - 1)], l_enc)
+        take = (lo < hi) & lt
+        return jnp.where(take, mid + 1, lo), jnp.where((lo < hi) & ~lt, mid, hi)
+
+    lo, hi = jax.lax.fori_loop(0, steps + 1, body, (lo, hi))
+    pos = jnp.clip(lo, 0, n - 1)
+    found = jnp.all(ts[pos] == l_enc, axis=1) & (lo < n)
+    counts_sorted = jnp.zeros((n,), jnp.int32).at[
+        jnp.where(found, pos, n)
+    ].add(1, mode="drop")
+    return jnp.zeros((n,), jnp.int32).at[order].set(
+        jnp.where(head, counts_sorted, 0)
+    )
 
 
 @dataclass
@@ -126,13 +179,23 @@ class LookupArguments:
         outs = evaluate_expressions(
             f, self.lookup_polys + self.table_polys, resolve_poly, lambda i: r_dev
         )
-        ls = [f.decode(o) for o in outs[: self.num_lookups()]]
-        ts = [f.decode(o) for o in outs[self.num_lookups() :]]
+        l_devs = list(outs[: self.num_lookups()])
+        t_devs = list(outs[self.num_lookups() :])
+        ls = [f.decode(o) for o in l_devs]
+        ts = [f.decode(o) for o in t_devs]
 
         # m: count of l's equal to t_i, first-occurrence-of-t only
-        # (reference `evaluate_m`, hashmap semantics)
+        # (reference `evaluate_m`, hashmap semantics).  Device path for
+        # real table sizes; host hashmap (the gold model) for tiny ones.
+        import os
+
+        flag = os.environ.get("SIRIUS_TPU_DEVICE_LOOKUP")
+        use_device = (n >= 4096) if flag is None else flag == "1"
         ms = []
-        for l, t in zip(ls, ts):
+        for l, t, l_dev, t_dev in zip(ls, ts, l_devs, t_devs):
+            if use_device:
+                ms.append([int(v) for v in _device_m_count(l_dev, t_dev)])
+                continue
             counts: dict[int, int] = {}
             for li in l:
                 counts[li] = counts.get(li, 0) + 1
@@ -145,7 +208,7 @@ class LookupArguments:
                     seen.add(ti)
                     m.append(counts.get(ti, 0))
             ms.append(m)
-        return ArgumentCoefficient1(self, S, ls, ts, ms)
+        return ArgumentCoefficient1(self, S, ls, ts, ms, l_devs, t_devs)
 
 
 @dataclass
@@ -157,13 +220,32 @@ class ArgumentCoefficient1:
     ls: list[list[int]]
     ts: list[list[int]]
     ms: list[list[int]]
+    l_devs: list = None
+    t_devs: list = None
 
     def evaluate_coefficient_2(self, r: int) -> "ArgumentCoefficient2":
         """h = 1/(l+r), g = m/(t+r), zeros on zero denominators
         (reference `evaluate_h_g`)."""
-        p = self.S.field.p
+        import os
+
+        f = self.S.field
+        p = f.p
+        n = self.S.n
+        flag = os.environ.get("SIRIUS_TPU_DEVICE_LOOKUP")
+        use_device = (
+            self.l_devs is not None
+            and ((n >= 4096) if flag is None else flag == "1")
+        )
         hs, gs = [], []
-        for l, t, m in zip(self.ls, self.ts, self.ms):
+        for i, (l, t, m) in enumerate(zip(self.ls, self.ts, self.ms)):
+            if use_device:
+                r_b = jnp.broadcast_to(f.encode([r % p])[0], self.l_devs[i].shape)
+                h_dev = f.batch_inv(f.add(self.l_devs[i], r_b))
+                tinv = f.batch_inv(f.add(self.t_devs[i], r_b))
+                g_dev = f.mul(f.encode([mi % p for mi in m]), tinv)
+                hs.append(f.decode(h_dev))
+                gs.append(f.decode(g_dev))
+                continue
             from ..fields.gold import batch_inv
 
             h = batch_inv([(li + r) % p for li in l], p)

@@ -146,3 +146,63 @@ def test_fold_with_lookup(ck):
         acc = new_acc
         errors = VanillaFS.is_sat(ck, S, acc, [t.u.instances for t in [tr1, tr2][: step + 1]])
         assert not errors, f"step {step}: {errors}"
+
+
+def test_device_m_count_matches_host():
+    """Device sort/search multiplicity kernel vs the host hashmap on a
+    table with duplicate entries and inputs with misses."""
+    import numpy as np
+
+    from sirius_tpu.fields.constants import bn256_fr
+    from sirius_tpu.fields.jfield import field_for
+    from sirius_tpu.plonk.lookup import _device_m_count
+
+    f = field_for(bn256_fr)
+    p = f.p
+    n = 64
+    rng = np.random.default_rng(3)
+    # small value range -> plenty of duplicates in t and repeats in l
+    t = [int(v) for v in rng.integers(0, 12, size=n)]
+    t[5] = t[9] = t[11]  # explicit duplicate group
+    l = [int(v) for v in rng.integers(0, 16, size=n)]  # some miss the table
+    l[0] = t[11]
+
+    counts: dict[int, int] = {}
+    for li in l:
+        counts[li] = counts.get(li, 0) + 1
+    seen: set[int] = set()
+    want = []
+    for ti in t:
+        if ti in seen:
+            want.append(0)
+        else:
+            seen.add(ti)
+            want.append(counts.get(ti, 0))
+
+    got = [int(v) for v in _device_m_count(f.encode(l), f.encode(t))]
+    assert got == want
+
+
+def test_device_lookup_coefficients_match_host(ck):
+    """SPS lookup coefficient passes give identical witness vectors with
+    the device m-count/batch-invert path and the host gold path."""
+    import os
+
+    import numpy as np
+
+    c = RangeCircuit([3, 7, 15, 0, 1, 1, 5])
+    runner = CircuitRunner(K, bn256_fr, c, c.instances())
+    S = runner.collect_plonk_structure()
+    W = runner.collect_witness()
+    traces = {}
+    for flag in ("0", "1"):
+        os.environ["SIRIUS_TPU_DEVICE_LOOKUP"] = flag
+        try:
+            traces[flag] = run_sps_protocol(S, ck, c.instances(), W, create_ro())
+        finally:
+            del os.environ["SIRIUS_TPU_DEVICE_LOOKUP"]
+    t0, t1 = traces["0"], traces["1"]
+    assert t0.u.challenges == t1.u.challenges
+    assert t0.u.W_commitments == t1.u.W_commitments
+    for a, b in zip(t0.w.W, t1.w.W):
+        assert (np.asarray(a) == np.asarray(b)).all()
