@@ -3,6 +3,10 @@
 Replaces reference `src/plonk/permutation.rs` + `src/plonk/util.rs:79-152`
 (SURVEY.md §2.3).  Z = [instance columns (num_io lengths) | advice columns
 (2^k each)], flattened; fixed columns may not participate.
+
+Cells are encoded as flat ints (column_index * n + row): identity cycles are
+`range` objects materialized C-side, avoiding millions of tuple allocations
+per synthesis at real table sizes.
 """
 
 from __future__ import annotations
@@ -21,8 +25,8 @@ class Assembly:
 
     columns: list[PermColumn]
     n: int
-    mapping: list[list[tuple[int, int]]]
-    aux: list[list[tuple[int, int]]]
+    mapping: list[list[int]]  # flat cells: col_idx * n + row
+    aux: list[list[int]]
     sizes: list[list[int]]
 
     @staticmethod
@@ -30,29 +34,29 @@ class Assembly:
         # sort: Fixed < Advice < Instance in the reference ordering; we only
         # allow advice/instance and sort advice-before-instance, by index.
         cols = sorted(columns, key=lambda c: (0 if c[0] == "advice" else 1, c[1]))
-        base = [[(i, j) for j in range(n)] for i in range(len(cols))]
         return Assembly(
             columns=list(cols),
             n=n,
-            mapping=[list(col) for col in base],
-            aux=[list(col) for col in base],
+            mapping=[list(range(i * n, (i + 1) * n)) for i in range(len(cols))],
+            aux=[list(range(i * n, (i + 1) * n)) for i in range(len(cols))],
             sizes=[[1] * n for _ in cols],
         )
 
     def copy(self, left: PermColumn, left_row: int, right: PermColumn, right_row: int):
+        n = self.n
         lc = self.columns.index(left)
         rc = self.columns.index(right)
         left_cycle = self.aux[lc][left_row]
         right_cycle = self.aux[rc][right_row]
         if left_cycle == right_cycle:
             return
-        if self.sizes[left_cycle[0]][left_cycle[1]] < self.sizes[right_cycle[0]][right_cycle[1]]:
+        if self.sizes[left_cycle // n][left_cycle % n] < self.sizes[right_cycle // n][right_cycle % n]:
             left_cycle, right_cycle = right_cycle, left_cycle
-        self.sizes[left_cycle[0]][left_cycle[1]] += self.sizes[right_cycle[0]][right_cycle[1]]
+        self.sizes[left_cycle // n][left_cycle % n] += self.sizes[right_cycle // n][right_cycle % n]
         i = right_cycle
         while True:
-            self.aux[i[0]][i[1]] = left_cycle
-            i = self.mapping[i[0]][i[1]]
+            self.aux[i // n][i % n] = left_cycle
+            i = self.mapping[i // n][i % n]
             if i == right_cycle:
                 break
         self.mapping[lc][left_row], self.mapping[rc][right_row] = (
@@ -66,14 +70,16 @@ class PermutationData:
     """Frozen copy graph (reference `permutation.rs:117-146`)."""
 
     columns: list[PermColumn]
-    mapping: list[list[tuple[int, int]]]
+    n: int
+    mapping: list[list[int]]
 
     @staticmethod
     def from_assembly(a: Assembly) -> "PermutationData":
-        return PermutationData(list(a.columns), [list(m) for m in a.mapping])
+        return PermutationData(list(a.columns), a.n, [list(m) for m in a.mapping])
 
     def matrix(self, k: int, num_io: Sequence[int], num_advice: int):
         """COO triplets of P (reference `plonk/util.rs:79-152`)."""
+        n = self.n
         num_rows = 1 << k
         rows_len = list(num_io) + [num_rows] * num_advice
 
@@ -85,8 +91,11 @@ class PermutationData:
                 return len(num_io) + idx
             raise ValueError(f"fixed column in permutation: {col}")
 
-        def flat_index(col: PermColumn, row: int) -> int:
-            return sum(rows_len[: flat_col_offset(col)]) + row
+        # flat Z offsets precomputed per permutation column
+        z_col_start = [0]
+        for r in rows_len:
+            z_col_start.append(z_col_start[-1] + r)
+        col_start = [z_col_start[flat_col_offset(c)] for c in self.columns]
 
         not_in_perm = set(range(len(num_io) + num_advice))
         triplets = []
@@ -94,15 +103,16 @@ class PermutationData:
             left_col = self.columns[left_idx]
             not_in_perm.discard(flat_col_offset(left_col))
             inst_rows = num_io[left_col[1]] if left_col[0] == "instance" else None
-            for left_row, (cyc_col, cyc_row) in enumerate(mapping_vec):
+            left_start = col_start[left_idx]
+            for left_row, cell in enumerate(mapping_vec):
                 if inst_rows is not None and left_row >= inst_rows:
                     continue
-                right_col = self.columns[cyc_col]
-                not_in_perm.discard(flat_col_offset(right_col))
-                triplets.append((flat_index(left_col, left_row), flat_index(right_col, cyc_row), 1))
+                cyc_col, cyc_row = divmod(cell, n)
+                not_in_perm.discard(flat_col_offset(self.columns[cyc_col]))
+                triplets.append((left_start + left_row, col_start[cyc_col] + cyc_row, 1))
 
         for column_offset in not_in_perm:
-            col_off = sum(rows_len[:column_offset])
+            col_off = z_col_start[column_offset]
             for row in range(rows_len[column_offset]):
                 triplets.append((col_off + row, col_off + row, 1))
         return triplets
@@ -111,24 +121,25 @@ class PermutationData:
         """Detach given instance columns from all cycles (reference
         `permutation.rs:148-...`): every removed cell becomes a self-cycle and
         is spliced out of its original cycle."""
+        n = self.n
         remove = set(instance_columns_to_remove)
+        removed_col = [
+            c[0] == "instance" and c[1] in remove for c in self.columns
+        ]
         mapping = [list(m) for m in self.mapping]
 
-        def is_removed(ci: int) -> bool:
-            kind, idx = self.columns[ci]
-            return kind == "instance" and idx in remove
-
         for ci in range(len(self.columns)):
-            if is_removed(ci):
+            if removed_col[ci]:
                 continue
+            base = ci * n
             for ri in range(len(mapping[ci])):
                 # walk past removed cells
                 nxt = mapping[ci][ri]
-                while is_removed(nxt[0]) and nxt != (ci, ri):
-                    nxt = self.mapping[nxt[0]][nxt[1]]
+                self_cell = base + ri
+                while removed_col[nxt // n] and nxt != self_cell:
+                    nxt = self.mapping[nxt // n][nxt % n]
                 mapping[ci][ri] = nxt
         for ci in range(len(self.columns)):
-            if is_removed(ci):
-                for ri in range(len(mapping[ci])):
-                    mapping[ci][ri] = (ci, ri)
-        return PermutationData(list(self.columns), mapping)
+            if removed_col[ci]:
+                mapping[ci] = list(range(ci * n, (ci + 1) * n))
+        return PermutationData(list(self.columns), n, mapping)

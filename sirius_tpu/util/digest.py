@@ -35,8 +35,19 @@ def digest_to_curve(curve: CurveSpec, data: Iterable[bytes]) -> gold.AffinePoint
     return into_curve_from_bits(curve, digest_ints_to_bits(data))
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=1 << 16)
+def _int_bytes(v: int, width: int) -> bytes:
+    # fixed columns repeat a handful of distinct constants across 2^k rows;
+    # memoizing the little-endian encoding removes millions of to_bytes
+    # calls per structure digest (byte stream unchanged)
+    return v.to_bytes(width, "little")
+
+
 def serialize_ints(*values: int, width: int = 32) -> list[bytes]:
-    return [v.to_bytes(width, "little") for v in values]
+    return [_int_bytes(v, width) for v in values]
 
 
 def structure_digest_stream(S) -> list[bytes]:
@@ -49,7 +60,7 @@ def structure_digest_stream(S) -> list[bytes]:
     out += serialize_ints(*S.round_sizes, width=8)
     out.append(np.packbits(S.selectors.astype(np.uint8)).tobytes())
     for col in S.fixed_columns:
-        out += serialize_ints(*col)
+        out.append(b"".join(_int_bytes(v, 32) for v in col))
     for g in S.gates:
         out.append(g.visualize().encode())
     return out
