@@ -13,7 +13,7 @@ def main():
     ap.add_argument("mode", choices=[
         "sangria-trivial", "sangria-poseidon", "sangria-instances",
         "sangria-merkle", "sangria-range-lookup", "sangria-xor-lookup",
-        "cyclefold-trivial", "cyclefold-poseidon", "bench-msm",
+        "cyclefold-trivial", "cyclefold-poseidon", "cyclefold-lookup", "bench-msm",
     ], help="which pipeline to run")
     ap.add_argument("--fold-steps", type=int, default=1)
     ap.add_argument("--primary-k", type=int, default=16)
@@ -49,6 +49,7 @@ def main():
         "sangria-xor-lookup": "examples.xor_lookup",
         "cyclefold-trivial": "examples.cyclefold_trivial",
         "cyclefold-poseidon": "examples.cyclefold_poseidon",
+        "cyclefold-lookup": "examples.cyclefold_lookup",
     }
     if args.mode in simple:
         import importlib

@@ -129,15 +129,57 @@ class BigUintChip:
             acc = mg.add(ctx, acc, c)
         return acc
 
-    def mult_mod(self, ctx: RegionCtx, a: BigUintCells, b: BigUintCells, modulus: int) -> tuple[BigUintCells, BigUintCells]:
-        """(q, r) with a*b = q*modulus + r proven limbwise (reference
-        `mult_mod`, `big_uint_mul_mod_chip/mod.rs:1209`).  Returns
-        (quotient, remainder); remainder limbs are range-checked (the r < m
-        strict bound is deferred to the caller where required)."""
+    def assert_less_than_const(self, ctx: RegionCtx, a: BigUintCells, bound: int):
+        """Prove a < bound (a circuit constant): witness d = bound-1-a with
+        range-checked limbs and prove a + d = bound-1 limbwise with boolean
+        carries.  Closes the canonical-remainder soundness gap of the bare
+        limb range checks."""
+        mg, w, k = self.mg, self.w, self.k
+        p = mg.p
+        av = a.value
+        assert 0 <= av < bound <= 1 << (w * k)
+        d = self.assign_biguint(ctx, bound - 1 - av)
+        mask = (1 << w) - 1
+        t_limbs = [((bound - 1) >> (i * w)) & mask for i in range(k)]
+        shift = pow(2, w, p)
+        carry_prev: AssignedCell | None = None
+        carry_int = 0
+        for j in range(k):
+            s_int = a.limbs[j].value + d.limbs[j].value + carry_int
+            c_int = s_int >> w
+            assert (s_int & mask) == t_limbs[j], "less-than witness broken"
+            # a_j + d_j + c_{j-1} - t_j - 2^w c_j = 0, c_j boolean
+            state = [a.limbs[j], d.limbs[j]]
+            q1 = [1, 1]
+            if carry_prev is not None:
+                state.append(carry_prev)
+                q1.append(1)
+            if j == k - 1:
+                # top column: carry out must be zero, fold it into the row
+                assert c_int == 0, "less-than top carry nonzero"
+                self._linear_constraint(ctx, state, q1, (-t_limbs[j]) % p)
+            else:
+                c_cell = mg.assign_value(ctx, c_int)
+                self._range_check(ctx, c_cell, 1)
+                state.append(c_cell)
+                q1.append((p - shift) % p)
+                self._linear_constraint(ctx, state, q1, (-t_limbs[j]) % p)
+                carry_prev = c_cell
+                carry_int = c_int
+
+    def mult_mod(self, ctx: RegionCtx, a: BigUintCells, b: BigUintCells, modulus: int, addend: BigUintCells | None = None) -> tuple[BigUintCells, BigUintCells]:
+        """(q, r) with addend + a*b = q*modulus + r proven limbwise
+        (reference `mult_mod`, `big_uint_mul_mod_chip/mod.rs:1209`; the
+        optional addend fuses the reference's assign_sum+red_mod chain into
+        one identity, saving ~half the rows of every nonnative fold).
+        Returns (quotient, remainder); remainder limbs are range-checked and
+        the canonical bound r < modulus is enforced via
+        assert_less_than_const."""
         mg, w, k = self.mg, self.w, self.k
         p = mg.p
         av, bv = a.value, b.value
-        q_int, r_int = divmod(av * bv, modulus)
+        add_v = addend.value if addend is not None else 0
+        q_int, r_int = divmod(add_v + av * bv, modulus)
         assert q_int < 1 << (w * k), "quotient overflow: inputs must be < modulus-ish"
         q = self.assign_biguint(ctx, q_int)
         r = self.assign_biguint(ctx, r_int)
@@ -155,13 +197,18 @@ class BigUintChip:
         carry_int_prev = 0
         total_cols = 2 * k - 1
         for j in range(total_cols):
-            Lj = self._column_sum(ctx, ab_cols[j]) if j < len(ab_cols) else mg.assign_constant(ctx, 0)
+            Lj_cells = list(ab_cols[j]) if j < len(ab_cols) else []
+            if addend is not None and j < k:
+                Lj_cells.append(addend.limbs[j])
+            Lj = self._column_sum(ctx, Lj_cells)
             # build R_j as a linear row over q limbs with constant coeffs m_l
             qs = [(q.limbs[i], m_limbs[j - i]) for i in range(max(0, j - k + 1), min(k, j + 1))]
             r_cell = r.limbs[j] if j < k else None
 
             # integer carry value
             L_int = sum(a.limbs[i].value * b.limbs[l].value for i in range(k) for l in range(k) if i + l == j)
+            if addend is not None and j < k:
+                L_int += addend.limbs[j].value
             R_int = sum(qc.value * ml for qc, ml in qs) + (r_cell.value if r_cell else 0)
             c_int = (L_int - R_int + carry_int_prev) >> w
             assert (L_int - R_int + carry_int_prev) & ((1 << w) - 1) == 0, "carry identity broken"
@@ -197,6 +244,7 @@ class BigUintChip:
         final = mg.sub(ctx, carry_prev, mg.assign_constant(ctx, OFF))
         zero = mg.assign_constant(ctx, 0)
         ctx.constrain_equal(final, zero)
+        self.assert_less_than_const(ctx, r, modulus)
         return q, r
 
     def _linear_constraint(self, ctx: RegionCtx, cells: Sequence[AssignedCell], coefs: Sequence[int], rc: int):

@@ -145,11 +145,9 @@ class FoldRelaxedPlonkInstanceChip:
     # -- nonnative helpers -------------------------------------------------------
     def fold_via_biguint(self, ctx, acc: BigUintCells, x: BigUintCells, r: BigUintCells) -> BigUintCells:
         """acc + r*x mod q (reference `fold_via_biguint`,
-        `fold_relaxed_plonk_instance_chip.rs:1077`)."""
-        bn = self.bn
-        _, rx = bn.mult_mod(ctx, r, x, self.q)
-        s = bn.assign_sum(ctx, acc, rx)
-        _, out = bn.red_mod(ctx, s, self.q)
+        `fold_relaxed_plonk_instance_chip.rs:1077`) as a single fused
+        mul-add-mod identity."""
+        _, out = self.bn.mult_mod(ctx, r, x, self.q, addend=acc)
         return out
 
     # -- the fold ---------------------------------------------------------------

@@ -17,8 +17,11 @@ Replaces reference `src/ivc/cyclefold/` (SURVEY.md §2.6, call stack §3.4):
          - input/output consistency markers
     5. SPS the new primary trace
 
-Round-1 scope: single W commitment per trace (no-lookup step circuits),
-MARKERS_LEN = 2 on the primary instance, support instance column of 8.
+Multi-round (lookup) step circuits are supported: a primary trace with R
+W-commitments delegates R support-circuit folds per step, sequentially
+Sangria-chained into one support accumulator (reference
+`fold_support_circuit`, mod.rs:404-473).  MARKERS_LEN = 2 on the primary
+instance, support instance column of 8.
 """
 
 from __future__ import annotations
@@ -101,8 +104,8 @@ class CyclefoldStepInputs:
     self_incoming: PlonkInstance  # previous primary trace instance
     proof: pg.Proof
     support_acc: sg.RelaxedPlonkInstance  # sangria acc of support traces (CSup)
-    support_incoming: PlonkInstance  # this step's support trace instance
-    support_cross_commits: list  # grumpkin points
+    support_incoming: list[PlonkInstance]  # this step's support trace instances (one per primary W commitment)
+    support_cross_commits: list[list]  # grumpkin points, per support fold
 
 
 class CyclefoldSFC:
@@ -160,9 +163,12 @@ class CyclefoldSFC:
         incoming_assigned = pg_chip.assign_instance(ctx, inp.self_incoming)
         pF, pK = pg_chip.assign_proof(ctx, inp.proof)
         support_acc_assigned = fold_chip.assign_relaxed(ctx, inp.support_acc)
-        support_in_assigned = fold_chip.assign_incoming(ctx, inp.support_incoming)
+        support_in_assigned = [
+            fold_chip.assign_incoming(ctx, u) for u in inp.support_incoming
+        ]
         support_T_assigned = [
-            fold_chip.ecc.assign_affine(ctx, t) for t in inp.support_cross_commits
+            [fold_chip.ecc.assign_affine(ctx, t) for t in cross]
+            for cross in inp.support_cross_commits
         ]
 
         is_zero_step = mg.is_zero_term(ctx, step_cell)
@@ -181,32 +187,36 @@ class CyclefoldSFC:
             ctx, spec, (pp0, pp1), acc_assigned, [incoming_assigned], pF, pK
         )
 
-        # --- delegation consistency: the support instance's public IO binds
-        # p0 = acc W, p1 = incoming W, scalars = (l0, l1), p_out = new W.
-        # Support IO values live in Fq; their limb decompositions must match
-        # the PG instance's W limbs, and l0/l1 recompose to the L(gamma)
-        # cells natively.
-        sup = support_in_assigned.markers  # 8 BigUintCells
-        for limb_a, limb_b in zip(sup[0].limbs + sup[1].limbs,
-                                  acc_assigned.ins.W_commitments[0].x + acc_assigned.ins.W_commitments[0].y):
-            ctx.constrain_equal(limb_a, limb_b)
-        for limb_a, limb_b in zip(sup[2].limbs + sup[3].limbs,
-                                  incoming_assigned.W_commitments[0].x + incoming_assigned.W_commitments[0].y):
-            ctx.constrain_equal(limb_a, limb_b)
-        l0_native = bn.to_native_cell(ctx, sup[4])
-        l1_native = bn.to_native_cell(ctx, sup[5])
-        exp_l0 = mg.conditional_select(ctx, is_zero_step, l0_native, ls[0])
-        exp_l1 = mg.conditional_select(ctx, is_zero_step, l1_native, ls[1])
-        ctx.constrain_equal(exp_l0, l0_native)
-        ctx.constrain_equal(exp_l1, l1_native)
-        # new W limbs adopted from the support output
-        new_W = type(acc_assigned.ins.W_commitments[0])(sup[6].limbs, sup[7].limbs)
-        folded_acc.ins.W_commitments = [new_W]
-
-        # --- on-circuit Sangria fold of the support instance (native ECC)
-        folded_support, _r = fold_chip.fold(
-            ctx, support_acc_assigned, support_in_assigned, support_T_assigned, (pp0, pp1)
-        )
+        # --- delegation consistency: the i-th support instance's public IO
+        # binds p0 = acc W[i], p1 = incoming W[i], scalars = (l0, l1),
+        # p_out = new W[i].  Support IO values live in Fq; their limb
+        # decompositions must match the PG instance's W limbs, and l0/l1
+        # recompose to the L(gamma) cells natively.  Each support instance is
+        # then Sangria-folded on-circuit into the chained accumulator
+        # (reference sangria_adapter, sfc/mod.rs:258-276).
+        new_Ws = []
+        folded_support = support_acc_assigned
+        for i, (sup_in, sup_T) in enumerate(zip(support_in_assigned, support_T_assigned)):
+            sup = sup_in.markers  # 8 BigUintCells
+            for limb_a, limb_b in zip(sup[0].limbs + sup[1].limbs,
+                                      acc_assigned.ins.W_commitments[i].x + acc_assigned.ins.W_commitments[i].y):
+                ctx.constrain_equal(limb_a, limb_b)
+            for limb_a, limb_b in zip(sup[2].limbs + sup[3].limbs,
+                                      incoming_assigned.W_commitments[i].x + incoming_assigned.W_commitments[i].y):
+                ctx.constrain_equal(limb_a, limb_b)
+            l0_native = bn.to_native_cell(ctx, sup[4])
+            l1_native = bn.to_native_cell(ctx, sup[5])
+            exp_l0 = mg.conditional_select(ctx, is_zero_step, l0_native, ls[0])
+            exp_l1 = mg.conditional_select(ctx, is_zero_step, l1_native, ls[1])
+            ctx.constrain_equal(exp_l0, l0_native)
+            ctx.constrain_equal(exp_l1, l1_native)
+            # new W[i] limbs adopted from the support output
+            new_Ws.append(type(acc_assigned.ins.W_commitments[0])(sup[6].limbs, sup[7].limbs))
+            # --- on-circuit Sangria fold of this support instance (native ECC)
+            folded_support, _r = fold_chip.fold(
+                ctx, folded_support, sup_in, sup_T, (pp0, pp1)
+            )
+        folded_acc.ins.W_commitments = new_Ws
 
         # --- base-case selects
         def sel_cells(a, b):
@@ -222,9 +232,10 @@ class CyclefoldSFC:
             AssignedPlonkInstancePG(
                 [
                     AssignedBigUintPoint(
-                        [sel_cells(a, b) for a, b in zip(acc_assigned.ins.W_commitments[0].x, new_W.x)],
-                        [sel_cells(a, b) for a, b in zip(acc_assigned.ins.W_commitments[0].y, new_W.y)],
+                        [sel_cells(a, b) for a, b in zip(acc_W.x, new_W.x)],
+                        [sel_cells(a, b) for a, b in zip(acc_W.y, new_W.y)],
                     )
+                    for acc_W, new_W in zip(acc_assigned.ins.W_commitments, new_Ws)
                 ],
                 [
                     [sel_cells(a, b) for a, b in zip(ra, rb)]
@@ -361,10 +372,14 @@ class CyclefoldPublicParams:
             support_acc=sg.RelaxedPlonkInstance.new(
                 grumpkin, 0, 1, 0, markers_len=SUPPORT_IO
             ),
-            support_incoming=PlonkInstance(
-                [gold.identity(grumpkin)], [[0] * SUPPORT_IO], []
-            ),
-            support_cross_commits=[gold.identity(grumpkin)] * self.num_cross_terms_support(),
+            support_incoming=[
+                PlonkInstance([gold.identity(grumpkin)], [[0] * SUPPORT_IO], [])
+                for _ in range(self.num_witness_primary)
+            ],
+            support_cross_commits=[
+                [gold.identity(grumpkin)] * self.num_cross_terms_support()
+                for _ in range(self.num_witness_primary)
+            ],
         )
 
     def _dry_k_len(self) -> int:
@@ -487,24 +502,32 @@ class CyclefoldIVC:
             lagrange.iter_eval_lagrange_poly_for_cyclic_group(f1, gamma, 1)
         )[:2]
 
-        # --- support-circuit delegation: W_new = l0*W_acc + l1*W_inc
-        sup_input = InstanceInput(
-            prev_acc_ins.ins.W_commitments[0], prev_trace.u.W_commitments[0], l0, l1
-        )
-        expected_W = sup_input.p_out()
-        assert expected_W == new_acc.trace.u.W_commitments[0], \
-            "support delegation disagrees with the PG fold"
-        sup_circuit = SupportCircuit(sup_input, num_bits=f1.num_bits)
-        sup_instances = [sup_input.into_instance(pp.f2.modulus)]
-        sup_runner = CircuitRunner(SUPPORT_K, pp.f2, sup_circuit, sup_instances)
-        sup_W = sup_runner.collect_witness()
-        support_trace = run_sps_protocol(
-            pp.S_support, pp.ck2, sup_instances, sup_W, PoseidonHash(default_ro_spec(f1))
-        )
-        new_support_acc, sup_cross = sg.VanillaFS.prove(
-            pp.ck2, pp.sangria_pp_support, ro(), self.support_acc, support_trace
-        )
-        self.support_pub_instances.append(support_trace.u.instances)
+        # --- support-circuit delegation, one fold per W-commitment pair:
+        # W_new[i] = l0*W_acc[i] + l1*W_inc[i], sequentially Sangria-chained
+        # (reference `fold_support_circuit`, mod.rs:404-473)
+        new_support_acc = self.support_acc
+        support_incoming: list[PlonkInstance] = []
+        support_cross: list[list] = []
+        for i, (W_a, W_i) in enumerate(
+            zip(prev_acc_ins.ins.W_commitments, prev_trace.u.W_commitments)
+        ):
+            sup_input = InstanceInput(W_a, W_i, l0, l1)
+            expected_W = sup_input.p_out()
+            assert expected_W == new_acc.trace.u.W_commitments[i], \
+                f"support delegation #{i} disagrees with the PG fold"
+            sup_circuit = SupportCircuit(sup_input, num_bits=f1.num_bits)
+            sup_instances = [sup_input.into_instance(pp.f2.modulus)]
+            sup_runner = CircuitRunner(SUPPORT_K, pp.f2, sup_circuit, sup_instances)
+            sup_W = sup_runner.collect_witness()
+            support_trace = run_sps_protocol(
+                pp.S_support, pp.ck2, sup_instances, sup_W, PoseidonHash(default_ro_spec(f1))
+            )
+            new_support_acc, sup_cross = sg.VanillaFS.prove(
+                pp.ck2, pp.sangria_pp_support, ro(), new_support_acc, support_trace
+            )
+            support_incoming.append(support_trace.u)
+            support_cross.append(sup_cross)
+            self.support_pub_instances.append(support_trace.u.instances)
 
         # --- synthesize the SFC
         z_next = pp.sc.process_step(self.z_i, pp.k, f1)
@@ -521,8 +544,8 @@ class CyclefoldIVC:
             self_incoming=prev_trace.u,
             proof=proof,
             support_acc=self.support_acc.U,
-            support_incoming=support_trace.u,
-            support_cross_commits=sup_cross,
+            support_incoming=support_incoming,
+            support_cross_commits=support_cross,
         )
         sfc = CyclefoldSFC(pp.sc, inputs, f1)
         markers = [prev_trace.u.instances[0][1], x1]

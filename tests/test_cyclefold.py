@@ -52,3 +52,24 @@ def test_cyclefold_poseidon_step():
     ivc.next()
     errors = ivc.verify()
     assert not errors, errors
+
+
+def test_cyclefold_lookup_step():
+    """Lookup-bearing step circuit through cyclefold (the reference's
+    sha256/table16 scenario, `docs` §cyclefold): vector lookup -> 3-round
+    SPS -> 3 W-commitments per primary trace -> 3 chained support-circuit
+    delegations per fold step."""
+    from sirius_tpu.gadgets.xor_lookup_step_circuit import XorLookupStepCircuit
+
+    pp = CyclefoldPublicParams(
+        XorLookupStepCircuit(key=3),
+        k=18,  # 3 chained support folds need ~215k rows
+        ck_primary=MockCommitmentKey(BN256_G1),
+        ck_support=MockCommitmentKey(GRUMPKIN),
+    )
+    assert pp.num_witness_primary == 3, pp.num_witness_primary
+    ivc = CyclefoldIVC(pp, [2])
+    ivc.next()
+    assert ivc.z_i == [2 ^ 3 ^ 3]  # two applications of z ^= 3 (new + next)
+    errors = ivc.verify()
+    assert not errors, errors

@@ -214,6 +214,35 @@ def test_big_uint_mult_mod():
     check_rows(runner, S)
 
 
+def test_big_uint_less_than_edge():
+    """assert_less_than_const at the boundary value m-1 (and 0)."""
+    from sirius_tpu.fields.constants import bn256_fq
+
+    m = bn256_fq.modulus
+
+    class LtCircuit:
+        def configure(self, cs):
+            return MainGate.configure(cs, T=5), cs.instance_column()
+
+        def synthesize(self, config, asn):
+            from sirius_tpu.gadgets.big_uint_chip import BigUintChip
+
+            cfg, inst = config
+            mg = MainGate(cfg, asn.p)
+            chip = BigUintChip(mg)
+            ctx = RegionCtx(asn)
+            hi = chip.assign_biguint(ctx, m - 1)
+            chip.assert_less_than_const(ctx, hi, m)
+            lo = chip.assign_biguint(ctx, 0)
+            chip.assert_less_than_const(ctx, lo, m)
+            asn.copy(hi.limbs[0].column, hi.limbs[0].row, inst, 0)
+
+    c = LtCircuit()
+    runner = CircuitRunner(12, bn256_fr, c, [[(m - 1) & 0xFFFFFFFF, 0]])
+    S = runner.collect_plonk_structure()
+    check_rows(runner, S)
+
+
 def test_support_circuit():
     """Cyclefold EC co-processor: p_out = l0*p0 + l1*p1 with public IO."""
     from sirius_tpu.fields import gold
