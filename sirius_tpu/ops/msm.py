@@ -541,6 +541,56 @@ def msm_bucket(
     return acc
 
 
+def _msm_bucket_fused(curve: Curve, c: int, G: int, use_pallas: bool, mixed: bool,
+                      scalars_std: jnp.ndarray, points: Points) -> Points:
+    """The whole MSM as ONE traced program: digit extraction, bucket totals,
+    and the Horner window combine all on device.  Eliminates the eager
+    per-op dispatch overhead that dominates the split path on a remote
+    device (measured on v5e @2^16: totals kernel 371k pts/s vs 134k for the
+    split path — the gap was host round-trips, not compute)."""
+    digits = _extract_digits(scalars_std, c)
+    W = digits.shape[0]
+    if use_pallas:
+        totals = _bucket_totals_onehot_pallas(curve, c, G, digits, None, points)
+    elif c <= 6:
+        totals = _bucket_totals_onehot(curve, c, G, mixed, digits, None, points)
+    else:
+        totals = _bucket_totals(curve, c, G, digits, points)
+
+    def at(i):
+        return Points(*(tc[i] for tc in totals))
+
+    def body(i, acc):
+        w = W - 2 - i
+        for _ in range(c):
+            acc = curve.dbl(acc)
+        t = Points(*(
+            jax.lax.dynamic_index_in_dim(tc, w, keepdims=False) for tc in totals
+        ))
+        return curve.add(acc, t)
+
+    return jax.lax.fori_loop(0, W - 1, body, at(W - 1))
+
+
+@lru_cache(maxsize=None)
+def _msm_bucket_fused_jit(curve: Curve, c: int, G: int, use_pallas: bool, mixed: bool):
+    return jax.jit(partial(_msm_bucket_fused, curve, c, G, use_pallas, mixed))
+
+
+def msm_bucket_fused(curve: Curve, scalars_std: jnp.ndarray, points: Points,
+                     window_bits: int = 4, group_count: int = 256,
+                     assume_distinct: bool = False, use_pallas: bool = False):
+    """Fully-fused bucket MSM; returns a host gold.AffinePoint.  Requires
+    n % group_count == 0 (pad at the call site otherwise)."""
+    n = scalars_std.shape[0]
+    assert n % group_count == 0
+    out = _msm_bucket_fused_jit(
+        curve, window_bits, group_count, use_pallas,
+        assume_distinct and window_bits <= 6,
+    )(scalars_std, points)
+    return curve.decode(Points(out.x[None], out.y[None], out.z[None]))[0]
+
+
 def best_msm(curve: Curve, scalars_std: jnp.ndarray, points: Points,
              assume_distinct: bool = False):
     """Dispatch to the fastest device kernel for this size; returns a host
@@ -549,7 +599,7 @@ def best_msm(curve: Curve, scalars_std: jnp.ndarray, points: Points,
     (cheaper compile, adequate at small n)."""
     n = scalars_std.shape[0]
     if n >= 4096 and n % 256 == 0:
-        return msm_bucket(
+        return msm_bucket_fused(
             curve, scalars_std, points, window_bits=4, group_count=256,
             assume_distinct=assume_distinct,
             # the fused Pallas accumulation add is ~1.45x the XLA mixed add

@@ -122,6 +122,24 @@ def test_msm_sharded_vs_gold(rng):
     assert got == gold.msm(scalars, pts)
 
 
+def test_msm_bucket_fused_vs_gold(rng):
+    """Fully-fused single-program MSM (digits + totals + device Horner)."""
+    from sirius_tpu.ops.msm import msm_bucket_fused
+
+    curve = BN256_G1
+    n = 48
+    pts = rand_points(curve, rng, n)
+    scalars = [
+        (int(a) | (int(b) << 63) | (int(cc) << 126) | (int(d) << 189)) % curve.fs.p
+        for a, b, cc, d in rng.integers(0, 2**63, size=(n, 4))
+    ]
+    scalars[0] = 0
+    scalars[1] = 1
+    arr = jnp.asarray(ints_to_limbs(scalars))
+    got = msm_bucket_fused(curve, arr, curve.encode(pts), window_bits=4, group_count=16)
+    assert got == gold.msm(scalars, pts)
+
+
 @pytest.mark.parametrize("c", [4, 5])
 def test_msm_bucket_signed_digits(c, rng):
     """Signed-digit windows (B = 2^(c-1) buckets, negated-point adds,
