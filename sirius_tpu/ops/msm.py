@@ -569,7 +569,11 @@ def _msm_bucket_fused(curve: Curve, c: int, G: int, use_pallas: bool, mixed: boo
         ))
         return curve.add(acc, t)
 
-    return jax.lax.fori_loop(0, W - 1, body, at(W - 1))
+    out = jax.lax.fori_loop(0, W - 1, body, at(W - 1))
+    # leave the device in standard form, stacked: ONE transfer at the call
+    # site instead of three from_mont dispatches through curve.decode
+    fm = curve.fb.from_mont
+    return jnp.stack([fm(out.x), fm(out.y), fm(out.z)])
 
 
 @lru_cache(maxsize=None)
@@ -588,7 +592,15 @@ def msm_bucket_fused(curve: Curve, scalars_std: jnp.ndarray, points: Points,
         curve, window_bits, group_count, use_pallas,
         assume_distinct and window_bits <= 6,
     )(scalars_std, points)
-    return curve.decode(Points(out.x[None], out.y[None], out.z[None]))[0]
+    from ..fields import gold
+    from ..fields.limb import limbs_to_ints
+
+    x, y, z = limbs_to_ints(np.asarray(out))
+    p = curve.fb.p
+    if z % p == 0:
+        return gold.identity(curve.spec)
+    zi = gold.inv_mod(z % p, p)
+    return gold.AffinePoint(curve.spec, x * zi * zi % p, y * zi * zi * zi % p)
 
 
 def best_msm(curve: Curve, scalars_std: jnp.ndarray, points: Points,
