@@ -127,3 +127,98 @@ def hash_bytes_to_point(curve: CurveSpec, uniform: bytes) -> AffinePoint:
     u0 = int.from_bytes(uniform[:32], "little") % p
     u1 = int.from_bytes(uniform[32:], "little") % p
     return svdw_map(curve, u0).add(svdw_map(curve, u1))
+
+
+# ---------------------------------------------------------------------------
+# Device-batched SVDW (bit-identical to the host map above) — key setup for
+# 2^20+ generators runs as a few hundred batched field ops instead of
+# millions of host modpows.  Requires p = 3 (mod 4) (sqrt = a^((p+1)/4);
+# true for the bn256 base field); other fields use the host path.
+# ---------------------------------------------------------------------------
+
+
+def svdw_map_device(jcurve, u_std):
+    """Batched RFC 9380 map_to_curve_svdw.
+
+    jcurve: curves.jpoint.Curve; u_std: (n, L) standard-form limbs of ANY
+    256-bit value (reduction mod p happens in the Montgomery lift, matching
+    the host map's `u %= p`).  Returns device Points with z = 1 (Montgomery).
+    """
+    import jax.numpy as jnp
+
+    from .jpoint import Points
+
+    spec = jcurve.spec
+    f = jcurve.fb
+    p = f.p
+    assert p % 4 == 3, "device SVDW requires p = 3 (mod 4)"
+    assert spec.a == 0
+    Z, c1, c2, c3, c4 = _svdw_constants(spec)
+
+    n = u_std.shape[0]
+    u = f.to_mont(u_std)  # mont(u mod p)
+    B = f.const(spec.b, (n,))
+
+    def g(x):
+        return f.add(f.mul(f.square(x), x), B)
+
+    def legendre_is_square(a):
+        leg = f.pow_int(a, (p - 1) // 2)
+        return f.eq(leg, f.ones((n,))) | f.is_zero(a)
+
+    one = f.ones((n,))
+    tv1 = f.mul(f.square(u), f.const(c1, (n,)))
+    tv2 = f.add(one, tv1)
+    tv1 = f.sub(one, tv1)
+    prod = f.mul(tv1, tv2)
+    tv3 = f.batch_inv(prod, axis=0)
+    tv4 = f.mul(f.mul(f.mul(u, tv1), tv3), f.const(c3, (n,)))
+    x1 = f.sub(f.const(c2, (n,)), tv4)
+    gx1 = g(x1)
+    x2 = f.add(f.const(c2, (n,)), tv4)
+    gx2 = g(x2)
+    x3 = f.add(
+        f.mul(f.square(f.mul(f.square(tv2), tv3)), f.const(c4, (n,))),
+        f.const(Z, (n,)),
+    )
+
+    sq1 = legendre_is_square(gx1)
+    sq2 = legendre_is_square(gx2)
+    x = f.select(sq1, x1, f.select(sq2, x2, x3))
+    gx = g(x)
+    y = f.pow_int(gx, (p + 1) // 4)  # sqrt (p = 3 mod 4)
+
+    # sgn0 tie-break: parity of y must equal parity of (u mod p)
+    y_std = f.from_mont(y)
+    u_red = f.from_mont(u)
+    flip = (y_std[..., 0] & 1) != (u_red[..., 0] & 1)
+    y = f.select(flip, f.neg(y), y)
+    return Points(x, y, f.ones((n,)))
+
+
+def hash_bytes_to_points_device(jcurve, uniform: bytes):
+    """Batched hash_bytes_to_point: len(uniform) = 64*n bytes -> n affine
+    device Points (z = 1 Montgomery), bit-identical to the host map."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from .jpoint import Points
+
+    f = jcurve.fb
+    n = len(uniform) // 64
+    # (n, 64) bytes -> two (n, 16) uint16-limb arrays (little-endian halves)
+    raw = np.frombuffer(uniform, dtype=np.uint16).reshape(n, 32)
+    u0 = jnp.asarray(raw[:, :16].astype(np.uint32))
+    u1 = jnp.asarray(raw[:, 16:].astype(np.uint32))
+
+    def run(u0, u1):
+        P0 = svdw_map_device(jcurve, u0)
+        P1 = svdw_map_device(jcurve, u1)
+        S = jcurve.add(P0, P1)
+        # normalize to z = 1: (x/z^2, y/z^3)
+        zinv = f.batch_inv(S.z, axis=0)
+        zi2 = f.square(zinv)
+        return Points(f.mul(S.x, zi2), f.mul(S.y, f.mul(zi2, zinv)), f.ones((n,)))
+
+    return jax.jit(run)(u0, u1)

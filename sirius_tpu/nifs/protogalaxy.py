@@ -188,22 +188,27 @@ class PolyContext:
 
 # ---------------------------------------------------------------------------
 # Leaf evaluation + tree reductions (device)
+#
+# Each F/G/e pipeline below is ONE jitted XLA program (leaf gate sweep +
+# log-depth weighted tree), batched over evaluation points where the leaves
+# are shared.  The round-1 implementation dispatched every tree level (and a
+# host `decode_one` per point) eagerly — ~9.5k tiny ops per `prove`, 85% of
+# cyclefold `IVC::next` wall-clock.  Compiled fns are cached per structure.
 # ---------------------------------------------------------------------------
 
+_PG_COMPILED: dict = {}
 
-def _leaves(S: PlonkStructure, challenges: Sequence[int], W: PlonkWitness) -> jnp.ndarray:
+_TREE_CHUNK = 4096  # chunk rows so the point-batched tree peaks at ~8 MB
+
+
+def _leaves_traced(dom: PlonkEvalDomain, S: PlonkStructure) -> jnp.ndarray:
     """All gates evaluated over all rows, gate-major, zero-padded to 2^m.
 
     Reference `get_evaluate_witness_fn` order [gate0(rows), gate1(rows), ...]
-    (with the row-index fix documented in the module docstring)."""
+    (with the row-index fix documented in the module docstring).  Traceable:
+    call under jit."""
     f = S.field
-    dom = PlonkEvalDomain(
-        S,
-        challenges=[f.encode([c % f.p])[0] for c in challenges],
-        W1s=list(W.W),
-        W2s=[],
-    )
-    outs = dom.evaluate_compiled(list(S.gates))  # list of (n, L)
+    outs = dom.evaluate(list(S.gates))  # list of (n, L)
     flat = jnp.concatenate(outs, axis=0) if outs else f.zeros((0,))
     pad = count_of_evaluation_with_padding(S) - flat.shape[0]
     if pad:
@@ -211,17 +216,89 @@ def _leaves(S: PlonkStructure, challenges: Sequence[int], W: PlonkWitness) -> jn
     return flat
 
 
-def _tree_reduce(field, vals: jnp.ndarray, weights: Sequence[jnp.ndarray]) -> jnp.ndarray:
-    """Binary reduce: at level h, out = left + weights[h] * right.
+def _make_eval_dom(S, sel, fixed, challenges, W1s) -> PlonkEvalDomain:
+    dom = PlonkEvalDomain.__new__(PlonkEvalDomain)
+    dom.S = S
+    dom.challenges = list(challenges)
+    dom.W1s = list(W1s)
+    dom.W2s = []
+    dom._sel_override = sel
+    dom._fixed_override = fixed
+    return dom
 
-    vals: (2^m, L); weights[h]: (L,) Montgomery scalars.  Returns (L,)."""
-    f = field
-    m = vals.shape[0].bit_length() - 1
+
+def _tree_batched(f, v: jnp.ndarray, weights: jnp.ndarray, h0: int) -> jnp.ndarray:
+    """Weighted halving tree over axis 1: at level h, out = left + w[h]*right.
+
+    v: (t, 2^j, L); weights: (t, m, L) with level h's weight at weights[:, h0+h].
+    Returns (t, 1?, L) reduced to (t, L)."""
+    m = v.shape[1].bit_length() - 1
     for h in range(m):
-        left = vals[0::2]
-        right = vals[1::2]
-        vals = f.add(left, f.mul(weights[h], right))
-    return vals[0]
+        v = f.add(v[:, 0::2], f.mul(weights[:, h0 + h][:, None, :], v[:, 1::2]))
+    return v[:, 0]
+
+
+def _points_tree_fn(S: PlonkStructure, t: int):
+    """Jitted: (sel, fixed, challenges, W1s, weights (t,m,L)) -> (t, L) tree
+    reductions of the shared gate-leaf array under t different weight sets."""
+    key = ("Fpts", id(S), t)
+    fn = _PG_COMPILED.get(key)
+    if fn is None:
+        f = S.field
+        N = count_of_evaluation_with_padding(S)
+        m = max(N.bit_length() - 1, 0)
+        C = min(_TREE_CHUNK, N)
+        lc = max(C.bit_length() - 1, 0)
+
+        def run(sel, fixed, challenges, W1s, weights):
+            dom = _make_eval_dom(S, sel, fixed, challenges, W1s)
+            vals = _leaves_traced(dom, S)  # (N, L)
+            if N > C:
+                chunks = vals.reshape(N // C, C, vals.shape[-1])
+
+                def body(carry, chunk):
+                    v = jnp.broadcast_to(chunk[None], (t,) + chunk.shape)
+                    return carry, _tree_batched(f, v, weights, 0)
+
+                _, tops = jax.lax.scan(body, 0, chunks)  # (N/C, t, L)
+                v = jnp.moveaxis(tops, 0, 1)  # (t, N/C, L)
+                return _tree_batched(f, v, weights, lc)
+            v = jnp.broadcast_to(vals[None], (t,) + vals.shape)
+            return _tree_batched(f, v, weights, 0)
+
+        fn = jax.jit(run)
+        _PG_COMPILED[key] = fn
+    return fn
+
+
+def _g_point_fn(S: PlonkStructure, J1: int):
+    """Jitted single-G-point pipeline: fold J1 stacked witnesses with ls,
+    evaluate all gate leaves, tree-reduce with the shared beta' weights."""
+    key = ("Gpt", id(S), J1)
+    fn = _PG_COMPILED.get(key)
+    if fn is None:
+        f = S.field
+
+        def run(sel, fixed, ls, challenges, W_stacked, weights):
+            # ls: (J1, L); W_stacked: per-round (J1, size, L); weights: (m, L)
+            W_folded = [
+                f.sum_reduce(f.mul(ls[:, None, :], w_r), axis=0) for w_r in W_stacked
+            ]
+            dom = _make_eval_dom(S, sel, fixed, challenges, W_folded)
+            vals = _leaves_traced(dom, S)[None]  # (1, N, L)
+            return _tree_batched(f, vals, weights[None], 0)[0]
+
+        fn = jax.jit(run)
+        _PG_COMPILED[key] = fn
+    return fn
+
+
+def _weights_device(f, weight_ints: Sequence[Sequence[int]]) -> jnp.ndarray:
+    """(t, m) host ints -> (t, m, L) Montgomery device array in one encode."""
+    t = len(weight_ints)
+    m = len(weight_ints[0])
+    flat = [w % f.p for row in weight_ints for w in row]
+    return f.encode(flat).reshape(t, m, -1)
 
 
 def evaluate_e_from_trace(S: PlonkStructure, trace: PlonkTrace, betas: Sequence[int]) -> int:
@@ -229,9 +306,16 @@ def evaluate_e_from_trace(S: PlonkStructure, trace: PlonkTrace, betas: Sequence[
     if count_of_evaluation(S) == 0:
         return 0
     f = S.field
-    vals = _leaves(S, trace.u.challenges, trace.w)
-    weights = [f.encode([b % f.p])[0] for b in betas]
-    return f.decode_one(_tree_reduce(f, vals, weights))
+    weights = _weights_device(f, [list(betas)])
+    challenges = [f.encode([c % f.p])[0] for c in trace.u.challenges]
+    pts = _points_tree_fn(S, 1)(
+        jnp.asarray(S.selectors_device),
+        jnp.asarray(S.fixed_device),
+        challenges,
+        list(trace.w.W),
+        weights,
+    )
+    return f.decode_one(pts[0])
 
 
 # ---------------------------------------------------------------------------
@@ -259,26 +343,41 @@ def compute_F(ctx: PolyContext, betas: Sequence[int], delta: int, trace: PlonkTr
         deltas.append(d)
         d = d * d % p
 
-    vals0 = _leaves(S, trace.u.challenges, trace.w)
-    points = []
-    for X in lagrange.iter_cyclic_subgroup(spec, t.bit_length() - 1):
-        weights = [f.encode([(betas[h] + X * deltas[h]) % p])[0] for h in range(m)]
-        points.append(f.decode_one(_tree_reduce(f, vals0, weights)))
-
+    weight_ints = [
+        [(betas[h] + X * deltas[h]) % p for h in range(m)]
+        for X in lagrange.iter_cyclic_subgroup(spec, t.bit_length() - 1)
+    ]
+    challenges = [f.encode([c % p])[0] for c in trace.u.challenges]
+    pts = _points_tree_fn(S, t)(
+        jnp.asarray(S.selectors_device),
+        jnp.asarray(S.fixed_device),
+        challenges,
+        list(trace.w.W),
+        _weights_device(f, weight_ints),
+    )
+    points = f.decode(pts)
     return UnivariatePoly(spec, gold.fft(points, spec, inverse=True))
 
 
 def fold_witness_device(field, witnesses: Sequence[PlonkWitness], ls: Sequence[int]) -> PlonkWitness:
-    """sum_j L_j * w_j over device round arrays."""
+    """sum_j L_j * w_j over device round arrays (one jitted axpy program)."""
     f = field
-    l_dev = [f.encode([l % f.p])[0] for l in ls]
-    out = []
-    for rnd in range(len(witnesses[0].W)):
-        acc = f.mul(l_dev[0], witnesses[0].W[rnd])
-        for j in range(1, len(witnesses)):
-            acc = f.add(acc, f.mul(l_dev[j], witnesses[j].W[rnd]))
-        out.append(acc)
-    return PlonkWitness(out)
+    key = ("foldW", f.spec.name, len(witnesses), len(witnesses[0].W))
+    fn = _PG_COMPILED.get(key)
+    if fn is None:
+
+        def run(l_dev, W_stacked):
+            return [
+                f.sum_reduce(f.mul(l_dev[:, None, :], w_r), axis=0) for w_r in W_stacked
+            ]
+
+        fn = jax.jit(run)
+        _PG_COMPILED[key] = fn
+    l_dev = f.encode([l % f.p for l in ls])  # (J, L)
+    W_stacked = [
+        jnp.stack([w.W[rnd] for w in witnesses]) for rnd in range(len(witnesses[0].W))
+    ]
+    return PlonkWitness(fn(l_dev, W_stacked))
 
 
 def compute_G(
@@ -293,23 +392,32 @@ def compute_G(
     spec = S.spec
     p = spec.modulus
     f = S.field
-    m = ctx.betas_count
-    weights = [f.encode([b % p])[0] for b in betas_stroke]
+    weights = _weights_device(f, [list(betas_stroke)])[0]  # (m, L)
 
     all_traces = [accumulator, *traces]
-    points = []
+    J1 = len(all_traces)
+    W_stacked = [
+        jnp.stack([t.w.W[rnd] for t in all_traces])
+        for rnd in range(len(accumulator.w.W))
+    ]
+    sel = jnp.asarray(S.selectors_device)
+    fixed = jnp.asarray(S.fixed_device)
+    fn = _g_point_fn(S, J1)
+
+    pts = []
     for X in lagrange.iter_cyclic_subgroup(spec, ctx.fft_points_count_G.bit_length() - 1):
         ls = list(
             lagrange.iter_eval_lagrange_poly_for_cyclic_group(spec, X, ctx.lagrange_domain)
         )
-        w_folded = fold_witness_device(f, [t.w for t in all_traces], ls)
         ch_folded = [
             sum(l * (t.u.challenges[ci] if ci < len(t.u.challenges) else 0) for l, t in zip(ls, all_traces)) % p
             for ci in range(S.num_challenges)
         ]
-        vals = _leaves(S, ch_folded, w_folded)
-        points.append(f.decode_one(_tree_reduce(f, vals, weights)))
+        ls_dev = f.encode([l % p for l in ls])  # (J1, L)
+        ch_dev = [f.encode([c])[0] for c in ch_folded]
+        pts.append(fn(sel, fixed, ls_dev, ch_dev, W_stacked, weights))
 
+    points = f.decode(jnp.stack(pts))
     return UnivariatePoly(spec, gold.fft(points, spec, inverse=True))
 
 

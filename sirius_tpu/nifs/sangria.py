@@ -30,6 +30,9 @@ from ..util.ro import DEFAULT_R_F, DEFAULT_R_P, DEFAULT_RATE, DEFAULT_T, NUM_CHA
 
 CONSISTENCY_MARKERS_COUNT = 2
 
+# compiled witness-fold cache: (field, rounds, cross-terms) -> jitted fn
+_FOLD_COMPILED: dict = {}
+
 
 class SangriaError(Exception):
     pass
@@ -182,15 +185,20 @@ class RelaxedPlonkWitness:
         `accumulator.rs:364-404`)."""
         f = field
         r_dev = f.encode([r])[0]
+        key = (f.spec.name, len(self.W), len(cross_terms))
+        fold_all = _FOLD_COMPILED.get(key)
+        if fold_all is None:
 
-        @jax.jit
-        def fold_all(Ws1, Ws2, E, Ts, r_m):
-            newW = [f.add(w1, f.mul(r_m, w2)) for w1, w2 in zip(Ws1, Ws2)]
-            r_pow = r_m
-            for T in Ts:
-                E = f.add(E, f.mul(r_pow, T))
-                r_pow = f.mul(r_pow, r_m)
-            return newW, E
+            def run(Ws1, Ws2, E, Ts, r_m):
+                newW = [f.add(w1, f.mul(r_m, w2)) for w1, w2 in zip(Ws1, Ws2)]
+                r_pow = r_m
+                for T in Ts:
+                    E = f.add(E, f.mul(r_pow, T))
+                    r_pow = f.mul(r_pow, r_m)
+                return newW, E
+
+            fold_all = jax.jit(run)
+            _FOLD_COMPILED[key] = fold_all
 
         newW, newE = fold_all(list(self.W), list(W2.W), self.E, list(cross_terms), r_dev)
         return RelaxedPlonkWitness(newW, newE)

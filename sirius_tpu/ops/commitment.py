@@ -65,10 +65,22 @@ class CommitmentKey:
 
         xof = hashlib.shake_256(label)
         stream = xof.digest(64 * n)
-        affine = [
-            hash_bytes_to_point(curve.spec, stream[i * 64 : (i + 1) * 64]) for i in range(n)
-        ]
-        pts = curve.encode(affine)
+        if n >= 4096 and curve.spec.base.modulus % 4 == 3:
+            # device-batched SVDW (bit-identical to the host map); chunked to
+            # bound peak memory at reference-scale keys (2^23+)
+            from ..curves.hash_to_curve import hash_bytes_to_points_device
+
+            chunk = min(n, 1 << 19)
+            parts = [
+                hash_bytes_to_points_device(curve, stream[i * 64 : (i + chunk) * 64])
+                for i in range(0, n, chunk)
+            ]
+            pts = Points(*(jnp.concatenate([getattr(pp, c) for pp in parts]) for c in ("x", "y", "z")))
+        else:
+            affine = [
+                hash_bytes_to_point(curve.spec, stream[i * 64 : (i + 1) * 64]) for i in range(n)
+            ]
+            pts = curve.encode(affine)
         if use_cache:
             os.makedirs(CACHE_DIR, exist_ok=True)
             np.savez(

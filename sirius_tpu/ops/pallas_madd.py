@@ -100,13 +100,10 @@ class _F:
         return self.mul(a, a)
 
 
-def _madd_kernel(f: _F, x_ref, y_ref, z_ref, qx_ref, qy_ref, ox_ref, oy_ref, oz_ref):
-    X = [x_ref[i] for i in range(L)]
-    Y = [y_ref[i] for i in range(L)]
-    Z = [z_ref[i] for i in range(L)]
-    QX = [qx_ref[i] for i in range(L)]
-    QY = [qy_ref[i] for i in range(L)]
-
+def _madd_core(f: _F, X, Y, Z, QX, QY):
+    """Incomplete mixed add on limb-lists; returns (x3, y3, z3) limb-lists.
+    P == identity (z == 0) falls back to Q (z = 1 mont).  Same contract as
+    `Curve.add_mixed_fast`."""
     z1z1 = f.square(Z)
     u2 = f.mul(QX, z1z1)
     t = f.mul(QY, Z)
@@ -130,10 +127,23 @@ def _madd_kernel(f: _F, x_ref, y_ref, z_ref, qx_ref, qy_ref, ox_ref, oy_ref, oz_
     p_inf = Z[0] == 0
     for i in range(1, L):
         p_inf = p_inf & (Z[i] == 0)
+    x3 = [jnp.where(p_inf, QX[i], x3[i]) for i in range(L)]
+    y3 = [jnp.where(p_inf, QY[i], y3[i]) for i in range(L)]
+    z3 = [jnp.where(p_inf, jnp.full_like(z3[i], f.one_mont[i]), z3[i]) for i in range(L)]
+    return x3, y3, z3
+
+
+def _madd_kernel(f: _F, x_ref, y_ref, z_ref, qx_ref, qy_ref, ox_ref, oy_ref, oz_ref):
+    X = [x_ref[i] for i in range(L)]
+    Y = [y_ref[i] for i in range(L)]
+    Z = [z_ref[i] for i in range(L)]
+    QX = [qx_ref[i] for i in range(L)]
+    QY = [qy_ref[i] for i in range(L)]
+    x3, y3, z3 = _madd_core(f, X, Y, Z, QX, QY)
     for i in range(L):
-        ox_ref[i] = jnp.where(p_inf, QX[i], x3[i])
-        oy_ref[i] = jnp.where(p_inf, QY[i], y3[i])
-        oz_ref[i] = jnp.where(p_inf, jnp.full_like(z3[i], f.one_mont[i]), z3[i])
+        ox_ref[i] = x3[i]
+        oy_ref[i] = y3[i]
+        oz_ref[i] = z3[i]
 
 
 @lru_cache(maxsize=None)

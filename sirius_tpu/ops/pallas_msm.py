@@ -1,0 +1,234 @@
+"""Fully-fused Pallas MSM: bucket accumulation with the table in VMEM.
+
+Replaces the XLA one-hot bucket kernel of `msm.py` for large inputs.  The
+round-1 fused path kept the bucket table as a jit loop-carry in HBM: every
+accumulation step streamed the whole (W, G, B) table through HBM twice,
+capping the measured rate at ~15M EC-adds/s vs the ~55M/s the Pallas mixed
+adder sustains on resident data (reference workload `src/commitment.rs:81-90`,
+Pippenger via halo2 `best_multiexp`).
+
+Design (one kernel, one grid):
+
+  lanes   = (8 windows, 128 groups) per grid cell -> (8, 128) u32 tiles
+  scratch = Jacobian bucket table (B, L, 8, 128) x3 resident in VMEM
+  grid    = (W/8 window-blocks, n/(128*TS) step-blocks); step axis innermost,
+            table re-initialised at step 0, flushed to HBM at the last step
+  digits  = signed c-bit windows (B = 2^(c-1) buckets; negative digits add
+            the negated point), packed mag | neg<<31, streamed (8, TS, 128)
+  points  = affine Montgomery x/y streamed (L, TS, 128), shared by all
+            window-blocks; per-step one-hot select over the bucket axis +
+            one fused incomplete mixed add (`pallas_madd._madd_core`)
+
+The group-merge tree (128 -> 1 per window), the v*B_v suffix sums and the
+Horner window combine run as ordinary XLA on the (W, B)-point table the
+kernel emits — together with digit extraction they are traced into the SAME
+jit so the MSM is one device program with a single (3, L) transfer out.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..curves.jpoint import Curve, Points
+from ..fields.constants import LIMB_BITS, NUM_LIMBS
+from .pallas_madd import _F, _madd_core
+from .msm import _extract_digits_signed, _roll_fill
+
+L = NUM_LIMBS
+LANE = 128
+SUBL = 8  # windows per grid cell (sublane axis)
+
+
+def _msm_table_kernel(f: _F, B: int, TS: int, n_steps: int,
+                      digits_ref, px_ref, py_ref,
+                      ox_ref, oy_ref, oz_ref,
+                      tx, ty, tz):
+    """One grid cell: accumulate TS points into the VMEM bucket table."""
+    ts_idx = pl.program_id(1)
+
+    @pl.when(ts_idx == 0)
+    def _init():
+        zero = jnp.zeros((B, L, SUBL, LANE), jnp.uint32)
+        tx[...] = zero
+        tz[...] = zero
+        one = jnp.stack([jnp.full((SUBL, LANE), f.one_mont[l], jnp.uint32) for l in range(L)])
+        ty[...] = jnp.broadcast_to(one[None], (B, L, SUBL, LANE))
+
+    iota_b = jax.lax.broadcasted_iota(jnp.uint32, (B, SUBL, LANE), 0) + 1
+
+    def body(t, _):
+        v = digits_ref[:, t, :]  # (8, 128): mag | neg<<31
+        neg = v >> 31
+        mag = v & jnp.uint32(0x7FFFFFFF)
+        oh = mag[None] == iota_b  # (B, 8, 128)
+        ohu = oh.astype(jnp.uint32)
+
+        # gather the current bucket value (exactly one row matches; dead
+        # digits match none and produce zeros, discarded by the write mask)
+        X = [(tx[:, l] * ohu).sum(axis=0) for l in range(L)]
+        Y = [(ty[:, l] * ohu).sum(axis=0) for l in range(L)]
+        Z = [(tz[:, l] * ohu).sum(axis=0) for l in range(L)]
+
+        qx = [jnp.broadcast_to(px_ref[l, t][None, :], (SUBL, LANE)) for l in range(L)]
+        qy_pos = [jnp.broadcast_to(py_ref[l, t][None, :], (SUBL, LANE)) for l in range(L)]
+        qy_neg = f.sub([jnp.zeros((SUBL, LANE), jnp.uint32)] * L, qy_pos)
+        is_neg = neg > 0
+        qy = [jnp.where(is_neg, a, b) for a, b in zip(qy_neg, qy_pos)]
+
+        x3, y3, z3 = _madd_core(f, X, Y, Z, qx, qy)
+
+        for l in range(L):
+            tx[:, l] = jnp.where(oh, x3[l][None], tx[:, l])
+            ty[:, l] = jnp.where(oh, y3[l][None], ty[:, l])
+            tz[:, l] = jnp.where(oh, z3[l][None], tz[:, l])
+        return 0
+
+    jax.lax.fori_loop(0, TS, body, 0)
+
+    @pl.when(ts_idx == n_steps - 1)
+    def _flush():
+        ox_ref[0] = tx[...]
+        oy_ref[0] = ty[...]
+        oz_ref[0] = tz[...]
+
+
+@lru_cache(maxsize=None)
+def _table_call(curve: Curve, B: int, Wp: int, g: int, TS: int, interpret: bool = False):
+    f = _F(curve.fb)
+    Wb = Wp // SUBL
+    n_steps = g // TS
+    grid = (Wb, n_steps)
+    kern = partial(_msm_table_kernel, f, B, TS, n_steps)
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((SUBL, TS, LANE), lambda wb, ts: (wb, ts, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, TS, LANE), lambda wb, ts: (0, ts, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, TS, LANE), lambda wb, ts: (0, ts, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, B, L, SUBL, LANE), lambda wb, ts: (wb, 0, 0, 0, 0), memory_space=pltpu.VMEM)
+        ] * 3,
+        out_shape=[jax.ShapeDtypeStruct((Wb, B, L, SUBL, LANE), jnp.uint32)] * 3,
+        scratch_shapes=[pltpu.VMEM((B, L, SUBL, LANE), jnp.uint32)] * 3,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )
+
+
+def _msm_fused_vmem(curve: Curve, c: int, W_real: int, Wp: int, g: int, TS: int,
+                    interpret: bool,
+                    scalars_std: jnp.ndarray, px: jnp.ndarray, py: jnp.ndarray):
+    """Traced end-to-end MSM: digits -> table kernel -> merge -> Horner.
+
+    scalars_std: (n, L) standard-form limbs; px/py: (n, L) Montgomery affine
+    coordinates (z = 1 implied).  Returns standard-form (3, L) Jacobian.
+    """
+    n = scalars_std.shape[0]
+    B = 1 << (c - 1)
+    mags, negs = _extract_digits_signed(scalars_std, c)  # (W_real, n)
+    packed = mags | (negs.astype(jnp.uint32) << 31)
+    pad_w = Wp - W_real
+    if pad_w:
+        packed = jnp.concatenate([packed, jnp.zeros((pad_w, n), jnp.uint32)])
+    # (Wp, n) -> (Wp, g, 128); point i = (step i//128, lane i%128)
+    digits = packed.reshape(Wp, g, LANE)
+    pxl = jnp.transpose(px, (1, 0)).reshape(L, g, LANE)
+    pyl = jnp.transpose(py, (1, 0)).reshape(L, g, LANE)
+
+    otx, oty, otz = _table_call(curve, B, Wp, g, TS, interpret)(digits, pxl, pyl)
+
+    # (Wb, B, L, 8, 128) -> (Wp, B, 128, L) limb-last for the generic stages
+    def rearrange(a):
+        return jnp.transpose(a, (0, 3, 1, 4, 2)).reshape(Wp, B, LANE, L)
+
+    table = Points(rearrange(otx), rearrange(oty), rearrange(otz))
+
+    # group-merge tree over the 128-group axis (complete adds: identities
+    # are common for sparse buckets)
+    while table.x.shape[2] > 1:
+        h = table.x.shape[2] // 2
+        lo = Points(*(tc[:, :, :h] for tc in table))
+        hi = Points(*(tc[:, :, h:] for tc in table))
+        table = curve.add(lo, hi)
+    buckets = Points(*(tc[:, :, 0] for tc in table))  # (Wp, B, L)
+
+    # suffix-of-suffix = sum_v v * B_v per window
+    bsteps = max((B - 1).bit_length(), 1)
+    identWB = curve.identity((Wp, B))
+
+    def suf_body(j, Pc):
+        shift = jnp.int32(1) << j
+        Pnext = _roll_fill(Pc, identWB, shift, axis=1, forward=False)
+        return curve.add(Pc, Pnext)
+
+    suffix = jax.lax.fori_loop(0, bsteps, suf_body, buckets)
+    total_scan = jax.lax.fori_loop(0, bsteps, suf_body, suffix)
+    totals = Points(total_scan.x[:, 0], total_scan.y[:, 0], total_scan.z[:, 0])  # (Wp,)
+
+    # Horner over the W_real live windows, most significant first
+    def at(i):
+        return Points(*(jax.lax.dynamic_index_in_dim(tc, i, keepdims=False) for tc in totals))
+
+    def horner(i, acc):
+        w = W_real - 2 - i
+        for _ in range(c):
+            acc = curve.dbl(acc)
+        return curve.add(acc, at(w))
+
+    acc = jax.lax.fori_loop(0, W_real - 1, horner, at(W_real - 1))
+    fm = curve.fb.from_mont
+    return jnp.stack([fm(acc.x), fm(acc.y), fm(acc.z)])
+
+
+@lru_cache(maxsize=None)
+def _msm_fused_vmem_jit(curve: Curve, c: int, W_real: int, Wp: int, g: int, TS: int,
+                        interpret: bool = False):
+    return jax.jit(partial(_msm_fused_vmem, curve, c, W_real, Wp, g, TS, interpret))
+
+
+def msm_vmem(curve: Curve, scalars_std: jnp.ndarray, points: Points,
+             window_bits: int = 6, step_block: int = 64, interpret: bool = False):
+    """VMEM-table MSM; points must be affine Montgomery encodings (z = 1,
+    distinct, non-identity — the commitment-key contract).  Returns a host
+    gold.AffinePoint."""
+    from ..fields import gold
+    from ..fields.limb import limbs_to_ints
+
+    c = window_bits
+    n = scalars_std.shape[0]
+    blk = LANE * step_block
+    pad = (-n) % blk
+    if pad:
+        scalars_std = jnp.concatenate(
+            [scalars_std, jnp.zeros((pad, scalars_std.shape[1]), scalars_std.dtype)]
+        )
+        # pad points with copies of the first point: their digits are all
+        # dead (zero scalars) so they are never accumulated
+        points = Points(*(
+            jnp.concatenate([pc, jnp.broadcast_to(pc[:1], (pad,) + pc.shape[1:])])
+            for pc in points
+        ))
+        n += pad
+    g = n // LANE
+    W_real = (NUM_LIMBS * LIMB_BITS + c - 1) // c + 1  # + signed carry window
+    Wp = -(-W_real // SUBL) * SUBL
+
+    out = _msm_fused_vmem_jit(curve, c, W_real, Wp, g, step_block, interpret)(
+        scalars_std, points.x, points.y
+    )
+    x, y, z = limbs_to_ints(np.asarray(out))
+    p = curve.fb.p
+    if z % p == 0:
+        return gold.identity(curve.spec)
+    zi = gold.inv_mod(z % p, p)
+    return gold.AffinePoint(curve.spec, x * zi * zi % p, y * zi * zi * zi % p)
