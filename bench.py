@@ -1,20 +1,22 @@
-"""Benchmark driver: MSM/commit throughput (the #1 hot kernel, SURVEY.md §6).
+"""Benchmark driver: real-commitment cyclefold IVC wall-clock + hot kernels.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
 
-The workload is a Pedersen commitment over a cached commitment key — the
-exact hot path of the reference's `CommitmentKey::commit` -> `best_multiexp`
-(`src/commitment.rs:81-90`).  The framework has two MSM backends and the
-headline number is the better of the two on this machine (both sub-values
-are reported alongside):
-  - tpu:    XLA windowed bucket kernel (ops/msm.py), one chip
-  - native: C++ multi-threaded Pippenger (sirius_tpu/native), host CPUs —
-            the architectural analogue of the reference's rayon Pippenger
+Headline: cyclefold IVC::next (one fold step) with REAL Pedersen commitments
+on the TPU MSM — the reference's benchmark workload
+(`benches/cyclefold_poseidon.rs`, BASELINE.md: trivial new/next/verify =
+7.03/5.4/1.45 s on a 64-core EPYC 7702 at primary k=20, 2^23-2^24 keys).
+vs_baseline = baseline_seconds / ours (>1 means faster than the reference).
 
-vs_baseline: the reference runs halo2curves Pippenger on a 64-core EPYC 7702;
-its published wall-clocks (BASELINE.md) imply roughly 1.5e6 points/s for
-254-bit MSM on that box.  vs_baseline = value / 1.5e6.
+Sub-metrics: ivc_new_s / ivc_verify_s, MSM points/s at 2^20 (BASELINE.json
+target metric, ~1.5e6 pts/s baseline), NTT elems/s, and the native C++
+Pippenger for cross-checking.
+
+Scope control (driver runs the default full set):
+  SIRIUS_TPU_BENCH_SCOPE=msm   kernels only (fast)
+  SIRIUS_TPU_BENCH_K           primary circuit k (default 20, matching the
+                               reference bench config)
 """
 
 from __future__ import annotations
@@ -25,30 +27,25 @@ import time
 
 import jax
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/sirius_tpu_xla_cache_bench")
+jax.config.update("jax_compilation_cache_dir", "/tmp/sirius_tpu_xla_cache")
 
 import jax.numpy as jnp
 import numpy as np
 
 BASELINE_MSM_POINTS_PER_SEC = 1.5e6
+BASELINE_TRIVIAL = {"new": 7.03, "next": 5.4, "verify": 1.45}
 
 
-def main():
-    from sirius_tpu import native
-    from sirius_tpu.curves.jpoint import BN256_G1, Points
+def bench_msm(curve, log_n: int):
+    """MSM points/s at 2^log_n on the default commit path (gold-checked)."""
     from sirius_tpu.fields import gold
     from sirius_tpu.fields.limb import ints_to_limbs
     from sirius_tpu.ops.commitment import CommitmentKey
-    from sirius_tpu.ops.msm import best_msm, msm_host
+    from sirius_tpu.ops.msm import best_msm
+    from sirius_tpu.curves.jpoint import Points
 
-    curve = BN256_G1
-    backend = jax.default_backend()
-    log_n = 16 if backend != "cpu" else 10
-    window_bits = 8
     n = 1 << log_n
-
-    ck = CommitmentKey.setup(curve, log_n, b"bench", use_cache=True, window_bits=window_bits)
-
+    ck = CommitmentKey.setup(curve, log_n, b"bench", use_cache=True)
     rng = np.random.default_rng(42)
     scalars = [
         (int(a) | (int(b) << 63) | (int(c) << 126) | (int(d) << 189)) % curve.fs.p
@@ -56,70 +53,135 @@ def main():
     ]
     arr = jnp.asarray(ints_to_limbs(scalars))
 
-    # correctness spot-check on a small prefix with the same kernel config
-    m = 32
-    got = msm_host(
-        curve, arr[:m], Points(ck.points.x[:m], ck.points.y[:m], ck.points.z[:m]), window_bits
-    )
-    prefix_pts = curve.decode(Points(ck.points.x[:m], ck.points.y[:m], ck.points.z[:m]))
-    want = gold.msm(scalars[:m], prefix_pts)
+    # correctness spot-check vs the gold model on a small prefix
+    m = 512
+    got = best_msm(curve, arr[:m], Points(ck.points.x[:m], ck.points.y[:m], ck.points.z[:m]),
+                   assume_distinct=True)
+    want = gold.msm(scalars[:m], ck.host_points()[:m])
     assert got == want, "MSM kernel disagrees with gold model"
 
-    # --- tpu/XLA backend (best_msm: one-hot bucket kernel at this size):
-    # compile + warmup, then timed run
-    got_full = best_msm(curve, arr, ck.points, assume_distinct=True)
+    best_msm(curve, arr, ck.points, assume_distinct=True)  # compile + warm
     t0 = time.time()
-    got_full2 = best_msm(curve, arr, ck.points, assume_distinct=True)
+    res = best_msm(curve, arr, ck.points, assume_distinct=True)
     dt = time.time() - t0
-    assert (got_full2.x, got_full2.y) == (got_full.x, got_full.y)
-    tpu_pts_per_sec = n / dt
+    return n / dt, ck
 
-    # --- native C++ backend (threaded Pippenger on the host CPUs)
-    native_pts_per_sec = 0.0
-    if native.available():
-        host_pts = ck.host_points()
-        nat_small = native.native_msm(curve.spec, host_pts[:m], scalars[:m])
-        assert (nat_small.x, nat_small.y) == (want.x, want.y), (
-            "native MSM disagrees with gold model"
-        )
-        native.native_msm(curve.spec, host_pts, scalars)  # warm (thread pool, caches)
-        t0 = time.time()
-        native.native_msm(curve.spec, host_pts, scalars)
-        dt_native = time.time() - t0
-        native_pts_per_sec = n / dt_native
 
-    # --- secondary metric: radix-2 NTT throughput (SURVEY §6 target)
-    ntt_elems_per_sec = 0.0
+def bench_native(curve, ck, log_n: int):
+    from sirius_tpu import native
+
+    if not native.available():
+        return 0.0
+    n = 1 << log_n
+    rng = np.random.default_rng(42)
+    scalars = [
+        (int(a) | (int(b) << 63) | (int(c) << 126) | (int(d) << 189)) % curve.fs.p
+        for a, b, c, d in rng.integers(0, 2**63, size=(n, 4))
+    ]
+    host_pts = ck.host_points()[:n]
+    native.native_msm(curve.spec, host_pts, scalars)  # warm
+    t0 = time.time()
+    native.native_msm(curve.spec, host_pts, scalars)
+    return n / (time.time() - t0)
+
+
+def bench_ntt(log_n: int):
+    from sirius_tpu.fields.jfield import FR
+    from sirius_tpu.ops.ntt import NTT
+
+    n = 1 << log_n
+    rng = np.random.default_rng(7)
+    ntt = NTT(FR, log_n)
+    coeffs = FR.encode([int(x) for x in rng.integers(0, 2**62, size=n)])
+    ntt.fft(coeffs).block_until_ready()
+    t0 = time.time()
+    ntt.fft(coeffs).block_until_ready()
+    return n / (time.time() - t0)
+
+
+def bench_cyclefold_ivc(k: int, key_k: int):
+    """Trivial-circuit cyclefold IVC with REAL commitment keys: pp/new/next/
+    verify wall-clock (the BASELINE.md headline workload)."""
+    from sirius_tpu.curves.jpoint import BN256_G1, GRUMPKIN
+    from sirius_tpu.ivc.cyclefold_ivc import SUPPORT_K, CyclefoldIVC, CyclefoldPublicParams
+    from sirius_tpu.ivc.step_circuit import TrivialStepCircuit
+    from sirius_tpu.ops.commitment import CommitmentKey
+
+    t0 = time.time()
+    ck1 = CommitmentKey.setup(BN256_G1, key_k, b"bench-primary", use_cache=True)
+    ck2 = CommitmentKey.setup(GRUMPKIN, SUPPORT_K + 2, b"bench-support", use_cache=True)
+    key_s = time.time() - t0
+
+    t0 = time.time()
+    pp = CyclefoldPublicParams(TrivialStepCircuit(arity=1), k=k, ck_primary=ck1, ck_support=ck2)
+    pp_s = time.time() - t0
+
+    t0 = time.time()
+    ivc = CyclefoldIVC(pp, [0x42])
+    new_s = time.time() - t0
+
+    ivc.next()  # warm compile caches for the fold step
+    t0 = time.time()
+    ivc.next()
+    next_s = time.time() - t0
+
+    t0 = time.time()
+    errors = ivc.verify()
+    verify_s = time.time() - t0
+    assert not errors, errors
+    return {"key_s": key_s, "pp_s": pp_s, "new_s": new_s, "next_s": next_s, "verify_s": verify_s}
+
+
+def main():
+    from sirius_tpu.curves.jpoint import BN256_G1
+
+    backend = jax.default_backend()
+    on_tpu = backend != "cpu"
+    scope = os.environ.get("SIRIUS_TPU_BENCH_SCOPE", "full")
+    log_n = 20 if on_tpu else 10
+    ivc_k = int(os.environ.get("SIRIUS_TPU_BENCH_K", "20" if on_tpu else "8"))
+    key_k = max(ivc_k + 3, 14)
+
+    msm_pts, ck = bench_msm(BN256_G1, log_n)
+    native_pts = bench_native(BN256_G1, ck, min(log_n, 16)) if scope == "full" else 0.0
     try:
-        from sirius_tpu.fields.jfield import FR
-        from sirius_tpu.ops.ntt import NTT
-
-        ntt = NTT(FR, log_n)
-        coeffs = FR.encode([int(x) for x in rng.integers(0, 2**62, size=n)])
-        ntt.fft(coeffs).block_until_ready()  # compile + warm
-        t0 = time.time()
-        ntt.fft(coeffs).block_until_ready()
-        ntt_elems_per_sec = n / (time.time() - t0)
+        ntt_rate = bench_ntt(log_n)
     except Exception:
-        pass  # NTT metric is best-effort; the headline stays commit MSM
+        ntt_rate = 0.0
 
-    value = max(tpu_pts_per_sec, native_pts_per_sec)
-    best = "native" if native_pts_per_sec > tpu_pts_per_sec else backend
-    print(
-        json.dumps(
+    out = {
+        "msm_points_per_sec": round(msm_pts, 1),
+        "msm_log_n": log_n,
+        "msm_vs_baseline": round(msm_pts / BASELINE_MSM_POINTS_PER_SEC, 4),
+        "native_points_per_sec": round(native_pts, 1),
+        "ntt_elems_per_sec": round(ntt_rate, 1),
+        "backend": backend,
+    }
+
+    if scope == "full" and on_tpu:
+        ivc = bench_cyclefold_ivc(ivc_k, key_k)
+        out.update({f"ivc_{k}": round(v, 2) for k, v in ivc.items()})
+        out.update(
             {
-                "metric": f"commit_msm_points_per_sec_2^{log_n}",
-                "value": round(value, 1),
-                "unit": "points/s",
-                "vs_baseline": round(value / BASELINE_MSM_POINTS_PER_SEC, 4),
-                "backend": best,
-                "tpu_points_per_sec": round(tpu_pts_per_sec, 1),
-                "native_points_per_sec": round(native_pts_per_sec, 1),
-                "native_threads": min(os.cpu_count() or 1, 16),
-                "ntt_elems_per_sec": round(ntt_elems_per_sec, 1),
+                "metric": f"cyclefold_trivial_k{ivc_k}_ivc_next_s",
+                "value": round(ivc["next_s"], 2),
+                "unit": "s",
+                "vs_baseline": round(BASELINE_TRIVIAL["next"] / ivc["next_s"], 4),
+                "ivc_new_vs_baseline": round(BASELINE_TRIVIAL["new"] / ivc["new_s"], 4),
+                "ivc_verify_vs_baseline": round(BASELINE_TRIVIAL["verify"] / ivc["verify_s"], 4),
+                "baseline": "EPYC 7702 64c, docs/cyclefold_report.md:171-173 (k=20, 2^23 key)",
             }
         )
-    )
+    else:
+        out.update(
+            {
+                "metric": f"commit_msm_points_per_sec_2^{log_n}",
+                "value": round(msm_pts, 1),
+                "unit": "points/s",
+                "vs_baseline": round(msm_pts / BASELINE_MSM_POINTS_PER_SEC, 4),
+            }
+        )
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

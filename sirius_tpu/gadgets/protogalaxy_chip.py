@@ -133,6 +133,45 @@ class ProtoGalaxyVerifyChip:
         gamma = ro.squeeze(ctx)
         return delta, alpha, gamma
 
+    def verify_sps(
+        self,
+        ctx: RegionCtx,
+        incoming: AssignedPlonkInstancePG,
+        bn,
+        num_challenge_bits: int,
+        bypass: AssignedCell | None = None,
+    ) -> None:
+        """On-circuit SPS verification (reference `verify_sps`,
+        `ivc/protogalaxy/mod.rs:946-975`): re-derive the incoming trace's
+        challenges from the transcript and constrain them equal.
+
+        Mirrors `plonk.sps.sps_verify` absorb-for-absorb: instances, then per
+        round the W-commitment coordinates cast into the native field
+        (`PoseidonHash.absorb_point` absorbs x % p, y % p; here the cast is
+        the constrained limb recomposition).  `bypass` (e.g. is_zero_step)
+        skips the equality at the base case, where the incoming instance is
+        the all-zero dry default with no valid transcript behind it.
+        """
+        if not incoming.challenges:
+            return
+        mg = self.mg
+        from .big_uint_chip import BigUintCells
+
+        ro = PoseidonChip(mg, self.spec)
+        for inst in incoming.instances:
+            ro.absorb_iter(inst)
+        for i, expected in enumerate(incoming.challenges):
+            pt = incoming.W_commitments[i]
+            for coord in (pt.x, pt.y):
+                cells = BigUintCells(list(coord), bn.w)
+                ro.absorb_cell(bn.to_native_cell(ctx, cells))
+            out = ro.squeeze(ctx)
+            bits = mg.le_num_to_bits(ctx, out, mg.p.bit_length())
+            derived = mg.le_bits_to_num(ctx, bits[:num_challenge_bits])
+            if bypass is not None:
+                derived = mg.conditional_select(ctx, bypass, expected, derived)
+            ctx.constrain_equal(derived, expected)
+
     # -- algebra ----------------------------------------------------------------
     def betas_stroke(self, ctx, betas: Sequence[AssignedCell], alpha, delta) -> list[AssignedCell]:
         mg = self.mg

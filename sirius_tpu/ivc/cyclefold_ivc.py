@@ -182,6 +182,13 @@ class CyclefoldSFC:
         expected = mg.conditional_select(ctx, is_zero_step, u_markers[0], computed_x0)
         ctx.constrain_equal(expected, u_markers[0])
 
+        # --- on-circuit SPS verify of the incoming trace (reference
+        # `verify_sps`, ivc/protogalaxy/mod.rs:946-975): re-derive its SPS
+        # challenges in-circuit; bypassed at the base case (dry incoming)
+        pg_chip.verify_sps(
+            ctx, incoming_assigned, bn, NUM_CHALLENGE_BITS, bypass=is_zero_step
+        )
+
         # --- on-circuit ProtoGalaxy verify
         folded_acc, ls = pg_chip.verify(
             ctx, spec, (pp0, pp1), acc_assigned, [incoming_assigned], pF, pK
@@ -342,6 +349,10 @@ class CyclefoldPublicParams:
     def digest_coords(self):
         d = self.digest
         return (0, 0) if d.is_identity else (d.x, d.y)
+
+    def digest_hex(self) -> str:
+        x, y = self.digest_coords()
+        return f"{x:064x}{y:064x}"
 
     def num_cross_terms_support(self) -> int:
         return self.S_support.get_degree_for_folding() - 1
@@ -561,6 +572,21 @@ class CyclefoldIVC:
         self.support_acc = new_support_acc
         self.z_i = z_next
         self.step += 1
+
+    def checkpoint(self, path: str):
+        """Persist the full IVC state, keyed by the pp digest (SURVEY.md §5:
+        the reference never serializes accumulators; 2^16-step folds need it)."""
+        from ..util.checkpoint import save_cyclefold_state
+
+        save_cyclefold_state(path, self, self.pp.digest_hex())
+
+    @staticmethod
+    def resume(pp: "CyclefoldPublicParams", path: str) -> "CyclefoldIVC":
+        """Reload a checkpointed IVC; refuses checkpoints from different
+        public parameters."""
+        from ..util.checkpoint import load_cyclefold_state
+
+        return load_cyclefold_state(path, pp, pp.digest_hex())
 
     def verify(self) -> list:
         """Marker replay + is_sat on accumulators and the pending trace

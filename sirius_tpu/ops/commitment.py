@@ -92,7 +92,9 @@ class CommitmentKey:
         return CommitmentKey(curve, pts, label, k, window_bits)
 
     def commit_device(self, w_mont: jnp.ndarray, window_bits: int | None = None) -> gold.AffinePoint:
-        """Commit to a (size, L) Montgomery device array."""
+        """Commit to a (size, L) Montgomery device array.  Under an active
+        mesh (`parallel.context`), points/scalars shard row-wise and every
+        device runs the bucket kernel on its slice."""
         scalars = self.curve.fs.from_mont(w_mont)
         n = scalars.shape[0]
         if n > len(self):
@@ -100,6 +102,13 @@ class CommitmentKey:
         if n == 0:
             return gold.identity(self.curve.spec)
         pts = Points(self.points.x[:n], self.points.y[:n], self.points.z[:n])
+        from ..parallel.context import get_mesh
+
+        mesh = get_mesh()
+        if mesh is not None and mesh.devices.size > 1:
+            return msm_ops.msm_sharded(
+                self.curve, scalars, pts, mesh, assume_distinct=True
+            )
         if window_bits is None:
             # key generators are distinct SVDW outputs -> mixed-add fast path
             return msm_ops.best_msm(self.curve, scalars, pts, assume_distinct=True)
@@ -135,6 +144,11 @@ class CommitmentKey:
         if scalars is None:
             scalars = jnp.asarray(ints_to_limbs(ints))
         pts = Points(self.points.x[:n], self.points.y[:n], self.points.z[:n])
+        if window_bits is None and self.window_bits == 16:
+            # default keys: same best-kernel dispatch as commit_device
+            # (explicit small windows — CPU tests — keep the cheap-compile
+            # scan kernel)
+            return msm_ops.best_msm(self.curve, scalars, pts, assume_distinct=True)
         res = msm_ops.msm_jitted(self.curve, scalars, pts, window_bits=window_bits or self.window_bits)
         return self.curve.decode(Points(*(c[None] for c in res)))[0]
 

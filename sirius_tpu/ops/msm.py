@@ -606,10 +606,17 @@ def msm_bucket_fused(curve: Curve, scalars_std: jnp.ndarray, points: Points,
 def best_msm(curve: Curve, scalars_std: jnp.ndarray, points: Points,
              assume_distinct: bool = False):
     """Dispatch to the fastest device kernel for this size; returns a host
-    gold.AffinePoint.  Large inputs use the one-hot bucket kernel (c=4,
-    G=256: ~8x the scan kernel on TPU v5e); small ones the per-window scan
-    (cheaper compile, adequate at small n)."""
+    gold.AffinePoint.
+
+    TPU + distinct affine points (the commitment-key contract): the fully
+    fused VMEM-bucket-table Pallas kernel (`pallas_msm.msm_vmem`).  Other
+    large inputs: the XLA one-hot bucket kernel.  Small inputs: the
+    per-window scan (cheaper compile, adequate at small n)."""
     n = scalars_std.shape[0]
+    if n >= 16384 and assume_distinct and jax.default_backend() == "tpu":
+        from .pallas_msm import msm_vmem
+
+        return msm_vmem(curve, scalars_std, points)
     if n >= 4096 and n % 256 == 0:
         return msm_bucket_fused(
             curve, scalars_std, points, window_bits=4, group_count=256,

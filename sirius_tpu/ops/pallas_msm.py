@@ -9,14 +9,17 @@ Pippenger via halo2 `best_multiexp`).
 
 Design (one kernel, one grid):
 
-  lanes   = (8 windows, 128 groups) per grid cell -> (8, 128) u32 tiles
+  lanes   = ONE window x 1024 groups per grid cell -> (8, 128) u32 tiles
   scratch = Jacobian bucket table (B, L, 8, 128) x3 resident in VMEM
-  grid    = (W/8 window-blocks, n/(128*TS) step-blocks); step axis innermost,
+  grid    = (W windows, n/(1024*TS) step-blocks); step axis innermost,
             table re-initialised at step 0, flushed to HBM at the last step
   digits  = signed c-bit windows (B = 2^(c-1) buckets; negative digits add
-            the negated point), packed mag | neg<<31, streamed (8, TS, 128)
-  points  = affine Montgomery x/y streamed (L, TS, 128), shared by all
-            window-blocks; per-step one-hot select over the bucket axis +
+            the negated point), packed mag | neg<<31, laid out
+            (W, g, 8, 128) so the per-step load is one full aligned tile
+            indexed only on leading dims (dynamic SUBLANE slicing is a
+            Mosaic slow path that cost 7x in the first layout)
+  points  = affine Montgomery x/y streamed (L, TS, 8, 128), shared by all
+            window cells; per-step one-hot select over the bucket axis +
             one fused incomplete mixed add (`pallas_madd._madd_core`)
 
 The group-merge tree (128 -> 1 per window), the v*B_v suffix sums and the
@@ -49,7 +52,11 @@ def _msm_table_kernel(f: _F, B: int, TS: int, n_steps: int,
                       digits_ref, px_ref, py_ref,
                       ox_ref, oy_ref, oz_ref,
                       tx, ty, tz):
-    """One grid cell: accumulate TS points into the VMEM bucket table."""
+    """One grid cell = ONE window x 1024 groups: accumulate TS point-tiles
+    into the VMEM bucket table.  All dynamic indexing (the step counter) is
+    on LEADING (untiled) dims — dynamic sublane slicing measurably wrecks
+    Mosaic codegen (the first layout, windows on sublanes, ran 7x below the
+    madd roofline because every operand load was a dynamic sublane gather)."""
     ts_idx = pl.program_id(1)
 
     @pl.when(ts_idx == 0)
@@ -63,20 +70,28 @@ def _msm_table_kernel(f: _F, B: int, TS: int, n_steps: int,
     iota_b = jax.lax.broadcasted_iota(jnp.uint32, (B, SUBL, LANE), 0) + 1
 
     def body(t, _):
-        v = digits_ref[:, t, :]  # (8, 128): mag | neg<<31
+        v = digits_ref[0, t]  # (8, 128) u32: mag | neg<<31
         neg = v >> 31
         mag = v & jnp.uint32(0x7FFFFFFF)
         oh = mag[None] == iota_b  # (B, 8, 128)
-        ohu = oh.astype(jnp.uint32)
 
         # gather the current bucket value (exactly one row matches; dead
-        # digits match none and produce zeros, discarded by the write mask)
-        X = [(tx[:, l] * ohu).sum(axis=0) for l in range(L)]
-        Y = [(ty[:, l] * ohu).sum(axis=0) for l in range(L)]
-        Z = [(tz[:, l] * ohu).sum(axis=0) for l in range(L)]
+        # digits match none and fall back to row 0, discarded by the write
+        # mask).  Mosaic has no uint reductions: unrolled select chain over
+        # per-row ref reads (no whole-table materialization).
+        def gather(tref):
+            out = []
+            for l in range(L):
+                acc = tref[0, l]
+                for b in range(1, B):
+                    acc = jnp.where(oh[b], tref[b, l], acc)
+                out.append(acc)
+            return out
 
-        qx = [jnp.broadcast_to(px_ref[l, t][None, :], (SUBL, LANE)) for l in range(L)]
-        qy_pos = [jnp.broadcast_to(py_ref[l, t][None, :], (SUBL, LANE)) for l in range(L)]
+        X, Y, Z = gather(tx), gather(ty), gather(tz)
+
+        qx = [px_ref[l, t] for l in range(L)]
+        qy_pos = [py_ref[l, t] for l in range(L)]
         qy_neg = f.sub([jnp.zeros((SUBL, LANE), jnp.uint32)] * L, qy_pos)
         is_neg = neg > 0
         qy = [jnp.where(is_neg, a, b) for a, b in zip(qy_neg, qy_pos)]
@@ -98,34 +113,39 @@ def _msm_table_kernel(f: _F, B: int, TS: int, n_steps: int,
         oz_ref[0] = tz[...]
 
 
+GROUPS = SUBL * LANE  # 1024 parallel accumulation lanes per window
+
+
 @lru_cache(maxsize=None)
-def _table_call(curve: Curve, B: int, Wp: int, g: int, TS: int, interpret: bool = False):
+def _table_call(curve: Curve, B: int, W: int, g: int, TS: int, interpret: bool = False):
     f = _F(curve.fb)
-    Wb = Wp // SUBL
     n_steps = g // TS
-    grid = (Wb, n_steps)
+    grid = (W, n_steps)
     kern = partial(_msm_table_kernel, f, B, TS, n_steps)
     return pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((SUBL, TS, LANE), lambda wb, ts: (wb, ts, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, TS, LANE), lambda wb, ts: (0, ts, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, TS, LANE), lambda wb, ts: (0, ts, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TS, SUBL, LANE), lambda w, ts: (w, ts, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, TS, SUBL, LANE), lambda w, ts: (0, ts, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, TS, SUBL, LANE), lambda w, ts: (0, ts, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, B, L, SUBL, LANE), lambda wb, ts: (wb, 0, 0, 0, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec((1, B, L, SUBL, LANE), lambda w, ts: (w, 0, 0, 0, 0), memory_space=pltpu.VMEM)
         ] * 3,
-        out_shape=[jax.ShapeDtypeStruct((Wb, B, L, SUBL, LANE), jnp.uint32)] * 3,
+        out_shape=[jax.ShapeDtypeStruct((W, B, L, SUBL, LANE), jnp.uint32)] * 3,
         scratch_shapes=[pltpu.VMEM((B, L, SUBL, LANE), jnp.uint32)] * 3,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
+            # table scratch + double-buffered point tiles exceed the 16M
+            # default scoped limit; v5e has 128M physical VMEM
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )
 
 
-def _msm_fused_vmem(curve: Curve, c: int, W_real: int, Wp: int, g: int, TS: int,
+def _msm_fused_vmem(curve: Curve, c: int, W_real: int, g: int, TS: int,
                     interpret: bool,
                     scalars_std: jnp.ndarray, px: jnp.ndarray, py: jnp.ndarray):
     """Traced end-to-end MSM: digits -> table kernel -> merge -> Horner.
@@ -137,19 +157,16 @@ def _msm_fused_vmem(curve: Curve, c: int, W_real: int, Wp: int, g: int, TS: int,
     B = 1 << (c - 1)
     mags, negs = _extract_digits_signed(scalars_std, c)  # (W_real, n)
     packed = mags | (negs.astype(jnp.uint32) << 31)
-    pad_w = Wp - W_real
-    if pad_w:
-        packed = jnp.concatenate([packed, jnp.zeros((pad_w, n), jnp.uint32)])
-    # (Wp, n) -> (Wp, g, 128); point i = (step i//128, lane i%128)
-    digits = packed.reshape(Wp, g, LANE)
-    pxl = jnp.transpose(px, (1, 0)).reshape(L, g, LANE)
-    pyl = jnp.transpose(py, (1, 0)).reshape(L, g, LANE)
+    # (W, n) -> (W, g, 8, 128); point i = (step i//1024, sub i//128%8, lane i%128)
+    digits = packed.reshape(W_real, g, SUBL, LANE)
+    pxl = jnp.transpose(px, (1, 0)).reshape(L, g, SUBL, LANE)
+    pyl = jnp.transpose(py, (1, 0)).reshape(L, g, SUBL, LANE)
 
-    otx, oty, otz = _table_call(curve, B, Wp, g, TS, interpret)(digits, pxl, pyl)
+    otx, oty, otz = _table_call(curve, B, W_real, g, TS, interpret)(digits, pxl, pyl)
 
-    # (Wb, B, L, 8, 128) -> (Wp, B, 128, L) limb-last for the generic stages
+    # (W, B, L, 8, 128) -> (W, B, 1024, L) limb-last for the generic stages
     def rearrange(a):
-        return jnp.transpose(a, (0, 3, 1, 4, 2)).reshape(Wp, B, LANE, L)
+        return jnp.transpose(a, (0, 1, 3, 4, 2)).reshape(W_real, B, GROUPS, L)
 
     table = Points(rearrange(otx), rearrange(oty), rearrange(otz))
 
@@ -164,7 +181,7 @@ def _msm_fused_vmem(curve: Curve, c: int, W_real: int, Wp: int, g: int, TS: int,
 
     # suffix-of-suffix = sum_v v * B_v per window
     bsteps = max((B - 1).bit_length(), 1)
-    identWB = curve.identity((Wp, B))
+    identWB = curve.identity((W_real, B))
 
     def suf_body(j, Pc):
         shift = jnp.int32(1) << j
@@ -191,13 +208,13 @@ def _msm_fused_vmem(curve: Curve, c: int, W_real: int, Wp: int, g: int, TS: int,
 
 
 @lru_cache(maxsize=None)
-def _msm_fused_vmem_jit(curve: Curve, c: int, W_real: int, Wp: int, g: int, TS: int,
+def _msm_fused_vmem_jit(curve: Curve, c: int, W_real: int, g: int, TS: int,
                         interpret: bool = False):
-    return jax.jit(partial(_msm_fused_vmem, curve, c, W_real, Wp, g, TS, interpret))
+    return jax.jit(partial(_msm_fused_vmem, curve, c, W_real, g, TS, interpret))
 
 
 def msm_vmem(curve: Curve, scalars_std: jnp.ndarray, points: Points,
-             window_bits: int = 6, step_block: int = 64, interpret: bool = False):
+             window_bits: int = 6, step_block: int = 32, interpret: bool = False):
     """VMEM-table MSM; points must be affine Montgomery encodings (z = 1,
     distinct, non-identity — the commitment-key contract).  Returns a host
     gold.AffinePoint."""
@@ -206,7 +223,7 @@ def msm_vmem(curve: Curve, scalars_std: jnp.ndarray, points: Points,
 
     c = window_bits
     n = scalars_std.shape[0]
-    blk = LANE * step_block
+    blk = GROUPS * step_block
     pad = (-n) % blk
     if pad:
         scalars_std = jnp.concatenate(
@@ -219,11 +236,10 @@ def msm_vmem(curve: Curve, scalars_std: jnp.ndarray, points: Points,
             for pc in points
         ))
         n += pad
-    g = n // LANE
+    g = n // GROUPS
     W_real = (NUM_LIMBS * LIMB_BITS + c - 1) // c + 1  # + signed carry window
-    Wp = -(-W_real // SUBL) * SUBL
 
-    out = _msm_fused_vmem_jit(curve, c, W_real, Wp, g, step_block, interpret)(
+    out = _msm_fused_vmem_jit(curve, c, W_real, g, step_block, interpret)(
         scalars_std, points.x, points.y
     )
     x, y, z = limbs_to_ints(np.asarray(out))

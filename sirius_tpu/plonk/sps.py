@@ -43,14 +43,23 @@ def _absorb_instances(ro: PoseidonHash, instances: Sequence[Sequence[int]]):
 def _concat_with_padding(f: Field, cols: Sequence[Sequence[int]], n: int) -> jnp.ndarray:
     """Column-major concatenation, each column padded to n rows, as a
     (len(cols)*n, L) Montgomery device array (reference
-    `concatenate_with_padding`)."""
+    `concatenate_with_padding`).  Under an active mesh the result is placed
+    row-sharded so downstream row sweeps inherit the sharding (GSPMD)."""
     flat: list[int] = []
     for col in cols:
         flat.extend(col)
         flat.extend([0] * (n - len(col)))
     if not flat:
         return f.zeros((0,))
-    return f.encode(flat)
+    out = f.encode(flat)
+    from ..parallel.context import get_mesh
+
+    mesh = get_mesh()
+    if mesh is not None and out.shape[0] % mesh.devices.size == 0:
+        from ..parallel.mesh import shard_rows
+
+        out = shard_rows(mesh, out, axis=0)
+    return out
 
 
 def run_sps_protocol(
