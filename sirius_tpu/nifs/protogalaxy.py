@@ -271,22 +271,32 @@ def _points_tree_fn(S: PlonkStructure, t: int):
     return fn
 
 
-def _g_point_fn(S: PlonkStructure, J1: int):
-    """Jitted single-G-point pipeline: fold J1 stacked witnesses with ls,
-    evaluate all gate leaves, tree-reduce with the shared beta' weights."""
-    key = ("Gpt", id(S), J1)
+def _g_points_fn(S: PlonkStructure, J1: int, nch: int):
+    """Jitted all-G-points pipeline: for every FFT point X (lax.map, so peak
+    memory stays one point's working set), fold the J1 stacked witnesses
+    with ls(X), evaluate all gate leaves, tree-reduce with the shared beta'
+    weights.  ONE device program per fold instead of t dispatches."""
+    key = ("Gpts", id(S), J1, nch)
     fn = _PG_COMPILED.get(key)
     if fn is None:
         f = S.field
 
-        def run(sel, fixed, ls, challenges, W_stacked, weights):
-            # ls: (J1, L); W_stacked: per-round (J1, size, L); weights: (m, L)
+        def one(sel, fixed, W_stacked, weights, ls, chs):
+            # ls: (J1, L); chs: (nch, L); W_stacked: per-round (J1, size, L)
             W_folded = [
                 f.sum_reduce(f.mul(ls[:, None, :], w_r), axis=0) for w_r in W_stacked
             ]
+            challenges = [chs[i] for i in range(nch)]
             dom = _make_eval_dom(S, sel, fixed, challenges, W_folded)
             vals = _leaves_traced(dom, S)[None]  # (1, N, L)
             return _tree_batched(f, vals, weights[None], 0)[0]
+
+        def run(sel, fixed, ls_all, ch_all, W_stacked, weights):
+            # ls_all: (t, J1, L); ch_all: (t, nch, L)
+            return jax.lax.map(
+                lambda a: one(sel, fixed, W_stacked, weights, a[0], a[1]),
+                (ls_all, ch_all),
+            )
 
         fn = jax.jit(run)
         _PG_COMPILED[key] = fn
@@ -396,28 +406,33 @@ def compute_G(
 
     all_traces = [accumulator, *traces]
     J1 = len(all_traces)
+    nch = S.num_challenges
     W_stacked = [
         jnp.stack([t.w.W[rnd] for t in all_traces])
         for rnd in range(len(accumulator.w.W))
     ]
     sel = jnp.asarray(S.selectors_device)
     fixed = jnp.asarray(S.fixed_device)
-    fn = _g_point_fn(S, J1)
 
-    pts = []
+    ls_rows, ch_rows = [], []
     for X in lagrange.iter_cyclic_subgroup(spec, ctx.fft_points_count_G.bit_length() - 1):
         ls = list(
             lagrange.iter_eval_lagrange_poly_for_cyclic_group(spec, X, ctx.lagrange_domain)
         )
-        ch_folded = [
+        ls_rows.append([l % p for l in ls])
+        ch_rows.append([
             sum(l * (t.u.challenges[ci] if ci < len(t.u.challenges) else 0) for l, t in zip(ls, all_traces)) % p
-            for ci in range(S.num_challenges)
-        ]
-        ls_dev = f.encode([l % p for l in ls])  # (J1, L)
-        ch_dev = [f.encode([c])[0] for c in ch_folded]
-        pts.append(fn(sel, fixed, ls_dev, ch_dev, W_stacked, weights))
-
-    points = f.decode(jnp.stack(pts))
+            for ci in range(nch)
+        ])
+    t_pts = len(ls_rows)
+    ls_all = f.encode([v for row in ls_rows for v in row]).reshape(t_pts, J1, -1)
+    ch_all = (
+        f.encode([v for row in ch_rows for v in row]).reshape(t_pts, nch, -1)
+        if nch
+        else jnp.zeros((t_pts, 0, ls_all.shape[-1]), jnp.uint32)
+    )
+    pts = _g_points_fn(S, J1, nch)(sel, fixed, ls_all, ch_all, W_stacked, weights)
+    points = f.decode(pts)
     return UnivariatePoly(spec, gold.fft(points, spec, inverse=True))
 
 

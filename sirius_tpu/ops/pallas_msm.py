@@ -61,11 +61,11 @@ def _msm_table_kernel(f: _F, B: int, TS: int, n_steps: int,
 
     @pl.when(ts_idx == 0)
     def _init():
-        zero = jnp.zeros((B, L, SUBL, LANE), jnp.uint32)
+        zero = jnp.zeros((L, B, SUBL, LANE), jnp.uint32)
         tx[...] = zero
         tz[...] = zero
-        one = jnp.stack([jnp.full((SUBL, LANE), f.one_mont[l], jnp.uint32) for l in range(L)])
-        ty[...] = jnp.broadcast_to(one[None], (B, L, SUBL, LANE))
+        one = jnp.stack([jnp.full((B, SUBL, LANE), f.one_mont[l], jnp.uint32) for l in range(L)])
+        ty[...] = one
 
     iota_b = jax.lax.broadcasted_iota(jnp.uint32, (B, SUBL, LANE), 0) + 1
 
@@ -75,20 +75,25 @@ def _msm_table_kernel(f: _F, B: int, TS: int, n_steps: int,
         mag = v & jnp.uint32(0x7FFFFFFF)
         oh = mag[None] == iota_b  # (B, 8, 128)
 
-        # gather the current bucket value (exactly one row matches; dead
-        # digits match none and fall back to row 0, discarded by the write
-        # mask).  Mosaic has no uint reductions: unrolled select chain over
-        # per-row ref reads (no whole-table materialization).
+        # per limb: ONE contiguous (B, 8, 128) table-row load, select-chain
+        # gather in registers (exactly one bucket matches; dead digits match
+        # none, fall back to row 0, and are discarded by the write mask),
+        # then ONE contiguous store of the masked update.  Limb-major table
+        # layout keeps every access contiguous — the strided (B-stride-L)
+        # variant ran 3x slower, and Mosaic has no uint reductions so the
+        # chain replaces a masked sum.
         def gather(tref):
-            out = []
+            rows, out = [], []
             for l in range(L):
-                acc = tref[0, l]
+                tl = tref[l]  # (B, 8, 128)
+                acc = tl[0]
                 for b in range(1, B):
-                    acc = jnp.where(oh[b], tref[b, l], acc)
+                    acc = jnp.where(oh[b], tl[b], acc)
+                rows.append(tl)
                 out.append(acc)
-            return out
+            return rows, out
 
-        X, Y, Z = gather(tx), gather(ty), gather(tz)
+        (rx, X), (ry, Y), (rz, Z) = gather(tx), gather(ty), gather(tz)
 
         qx = [px_ref[l, t] for l in range(L)]
         qy_pos = [py_ref[l, t] for l in range(L)]
@@ -99,9 +104,9 @@ def _msm_table_kernel(f: _F, B: int, TS: int, n_steps: int,
         x3, y3, z3 = _madd_core(f, X, Y, Z, qx, qy)
 
         for l in range(L):
-            tx[:, l] = jnp.where(oh, x3[l][None], tx[:, l])
-            ty[:, l] = jnp.where(oh, y3[l][None], ty[:, l])
-            tz[:, l] = jnp.where(oh, z3[l][None], tz[:, l])
+            tx[l] = jnp.where(oh, x3[l][None], rx[l])
+            ty[l] = jnp.where(oh, y3[l][None], ry[l])
+            tz[l] = jnp.where(oh, z3[l][None], rz[l])
         return 0
 
     jax.lax.fori_loop(0, TS, body, 0)
@@ -131,10 +136,10 @@ def _table_call(curve: Curve, B: int, W: int, g: int, TS: int, interpret: bool =
             pl.BlockSpec((L, TS, SUBL, LANE), lambda w, ts: (0, ts, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, B, L, SUBL, LANE), lambda w, ts: (w, 0, 0, 0, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec((1, L, B, SUBL, LANE), lambda w, ts: (w, 0, 0, 0, 0), memory_space=pltpu.VMEM)
         ] * 3,
-        out_shape=[jax.ShapeDtypeStruct((W, B, L, SUBL, LANE), jnp.uint32)] * 3,
-        scratch_shapes=[pltpu.VMEM((B, L, SUBL, LANE), jnp.uint32)] * 3,
+        out_shape=[jax.ShapeDtypeStruct((W, L, B, SUBL, LANE), jnp.uint32)] * 3,
+        scratch_shapes=[pltpu.VMEM((L, B, SUBL, LANE), jnp.uint32)] * 3,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
             # table scratch + double-buffered point tiles exceed the 16M
@@ -164,9 +169,9 @@ def _msm_fused_vmem(curve: Curve, c: int, W_real: int, g: int, TS: int,
 
     otx, oty, otz = _table_call(curve, B, W_real, g, TS, interpret)(digits, pxl, pyl)
 
-    # (W, B, L, 8, 128) -> (W, B, 1024, L) limb-last for the generic stages
+    # (W, L, B, 8, 128) -> (W, B, 1024, L) limb-last for the generic stages
     def rearrange(a):
-        return jnp.transpose(a, (0, 1, 3, 4, 2)).reshape(W_real, B, GROUPS, L)
+        return jnp.transpose(a, (0, 2, 3, 4, 1)).reshape(W_real, B, GROUPS, L)
 
     table = Points(rearrange(otx), rearrange(oty), rearrange(otz))
 
