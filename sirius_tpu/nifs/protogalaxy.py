@@ -642,13 +642,16 @@ class ProtoGalaxy:
 
     @staticmethod
     def is_sat_permutation(S: PlonkStructure, acc: Accumulator) -> None:
-        from ..poly.sparse import matrix_multiply
+        from ..plonk.permutation import device_perm_mismatches, perm_index_vector
 
         f = S.field
-        Z = [v for inst in acc.trace.u.instances for v in inst]
-        Z += f.decode(acc.trace.w.W[0][: S.n * S.num_advice_columns])
-        out = matrix_multiply(S.permutation_matrix(), Z, f.p, num_rows=len(Z))
-        mism = sum(1 for a, b in zip(out, Z) if a != b)
+        head = [v for inst in acc.trace.u.instances for v in inst]
+        total = head_len = len(head)
+        total += S.n * S.num_advice_columns
+        idx = perm_index_vector((id(S), "full"), S.permutation_matrix, total)
+        mism = device_perm_mismatches(
+            f, idx, head, acc.trace.w.W[0][: S.n * S.num_advice_columns]
+        )
         if mism:
             raise VerifyError(f"permutation mismatch on {mism} entries")
 

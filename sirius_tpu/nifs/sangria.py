@@ -373,20 +373,25 @@ class VanillaFS:
     @staticmethod
     def is_sat_permutation(S: PlonkStructure, acc: RelaxedPlonkTrace) -> None:
         """P'@Z == Z with step-circuit instance columns cut out and padded
-        (reference `nifs/sangria/mod.rs:385-453`)."""
-        from ..poly.sparse import matrix_multiply
+        (reference `nifs/sangria/mod.rs:385-453`); one device gather+compare
+        (P is a permutation, so P@Z==Z <=> Z[idx]==Z)."""
+        from ..plonk.permutation import device_perm_mismatches, perm_index_vector
 
         f = S.field
         n = S.n
-        pdata = S.permutation_data.rm_copy_constraints(range(1, len(S.num_io)))
-        matrix = pdata.matrix(S.k, S.num_io, S.num_advice_columns)
         PAD = 0xFFFFFFF
-        Z = list(acc.U.consistency_markers)
+        head = list(acc.U.consistency_markers)
         for io_len in S.num_io[1:]:
-            Z.extend([PAD] * io_len)
-        Z.extend(f.decode(acc.W.W[0][: n * S.num_advice_columns]))
-        out = matrix_multiply(matrix, Z, f.p, num_rows=len(Z))
-        mismatch = sum(1 for a, b in zip(out, Z) if a != b)
+            head.extend([PAD] * io_len)
+        total = len(head) + n * S.num_advice_columns
+        idx = perm_index_vector(
+            (id(S), "sangria-cut"),
+            lambda: S.permutation_data.rm_copy_constraints(range(1, len(S.num_io))).matrix(
+                S.k, S.num_io, S.num_advice_columns
+            ),
+            total,
+        )
+        mismatch = device_perm_mismatches(f, idx, head, acc.W.W[0][: n * S.num_advice_columns])
         if mismatch:
             raise VerifyError(f"permutation mismatch on {mismatch} entries")
 

@@ -143,3 +143,51 @@ class PermutationData:
             if removed_col[ci]:
                 mapping[ci] = list(range(ci * n, (ci + 1) * n))
         return PermutationData(list(self.columns), n, mapping)
+
+
+# ---------------------------------------------------------------------------
+# Device permutation check.  P is a permutation matrix (every row one entry,
+# value 1), so P@Z == Z is a single gather + row compare on device — the
+# host COO matvec (Python ints over n*cols cells) took seconds per verify at
+# k>=17.
+# ---------------------------------------------------------------------------
+
+_PERM_IDX_CACHE: dict = {}
+
+
+def perm_index_vector(cache_key, triplets_fn, total: int):
+    """COO permutation triplets -> idx with (P@Z)[r] = Z[idx[r]].
+    `triplets_fn` is only called on a cache miss (matrix construction is
+    itself host-heavy at k >= 17)."""
+    import numpy as np
+
+    idx = _PERM_IDX_CACHE.get(cache_key)
+    if idx is None:
+        idx = np.arange(total, dtype=np.int32)
+        for r, c, _v in triplets_fn():
+            idx[r] = c
+        _PERM_IDX_CACHE[cache_key] = idx
+    return idx
+
+
+def device_perm_mismatches(f, idx, head_ints: Sequence[int], W0_slice) -> int:
+    """Mismatch count of Z[idx] != Z where Z = [encode(head_ints), W0_slice]
+    (both Montgomery; canonical equality)."""
+    import jax
+    import jax.numpy as jnp
+
+    head = f.encode([v % f.p for v in head_ints])
+    if head.ndim == 1:
+        head = head.reshape(0, W0_slice.shape[-1])
+
+    key = ("permchk", f.spec.name, len(head_ints), W0_slice.shape[0])
+    fn = _PERM_IDX_CACHE.get(key)
+    if fn is None:
+
+        def run(idx_dev, head_dev, W0):
+            Z = jnp.concatenate([head_dev, W0], axis=0)
+            return jnp.sum(~jnp.all(Z[idx_dev] == Z, axis=-1))
+
+        fn = jax.jit(run)
+        _PERM_IDX_CACHE[key] = fn
+    return int(fn(jnp.asarray(idx), head, W0_slice))

@@ -109,17 +109,15 @@ def is_sat_log_derivative(S: PlonkStructure, W: PlonkWitness) -> bool:
 
 def is_sat_perm(S: PlonkStructure, U: PlonkInstance, W: PlonkWitness) -> None:
     """P @ Z == Z where Z = [instances | advice] (reference
-    `nifs/sangria/mod.rs:385-453` non-relaxed specialization)."""
-    from ..fields import gold
-    from ..poly.sparse import matrix_multiply
+    `nifs/sangria/mod.rs:385-453` non-relaxed specialization); device
+    gather+compare."""
+    from .permutation import device_perm_mismatches, perm_index_vector
 
     f = S.field
     n = S.n
-    p = f.p
-    advice_flat = f.decode(W.W[0][: S.num_advice_columns * n])
-    Z = [v for inst in U.instances for v in inst] + advice_flat
-    m = S.permutation_matrix()
-    out = matrix_multiply(m, Z, p, num_rows=len(Z))
-    if out != Z:
-        bad = sum(1 for a, b in zip(out, Z) if a != b)
-        raise PermCheckFail(f"{bad}/{len(Z)} entries")
+    head = [v for inst in U.instances for v in inst]
+    total = len(head) + n * S.num_advice_columns
+    idx = perm_index_vector((id(S), "full"), S.permutation_matrix, total)
+    bad = device_perm_mismatches(f, idx, head, W.W[0][: S.num_advice_columns * n])
+    if bad:
+        raise PermCheckFail(f"{bad}/{total} entries")
