@@ -201,18 +201,22 @@ _PG_COMPILED: dict = {}
 _TREE_CHUNK = 4096  # chunk rows so the point-batched tree peaks at ~8 MB
 
 
-def _leaves_traced(dom: PlonkEvalDomain, S: PlonkStructure) -> jnp.ndarray:
-    """All gates evaluated over all rows, gate-major, zero-padded to 2^m.
+def _leaves_traced_lf(dom: PlonkEvalDomain, S: PlonkStructure) -> jnp.ndarray:
+    """All gates evaluated over all rows, gate-major, zero-padded to 2^m —
+    LIMB-FIRST (L, N) (the whole tree pipeline runs limb-first; see
+    `fields.jfield_lf`).
 
     Reference `get_evaluate_witness_fn` order [gate0(rows), gate1(rows), ...]
     (with the row-index fix documented in the module docstring).  Traceable:
     call under jit."""
-    f = S.field
-    outs = dom.evaluate(list(S.gates))  # list of (n, L)
-    flat = jnp.concatenate(outs, axis=0) if outs else f.zeros((0,))
-    pad = count_of_evaluation_with_padding(S) - flat.shape[0]
+    from ..fields.jfield_lf import lf_for
+
+    flf = lf_for(S.field)
+    outs = dom.evaluate_lf(list(S.gates))  # list of (L, n)
+    flat = jnp.concatenate(outs, axis=1) if outs else flf.zeros((0,))
+    pad = count_of_evaluation_with_padding(S) - flat.shape[1]
     if pad:
-        flat = jnp.concatenate([flat, f.zeros((pad,))], axis=0)
+        flat = jnp.concatenate([flat, flf.zeros((pad,))], axis=1)
     return flat
 
 
@@ -227,44 +231,49 @@ def _make_eval_dom(S, sel, fixed, challenges, W1s) -> PlonkEvalDomain:
     return dom
 
 
-def _tree_batched(f, v: jnp.ndarray, weights: jnp.ndarray, h0: int) -> jnp.ndarray:
-    """Weighted halving tree over axis 1: at level h, out = left + w[h]*right.
+def _tree_batched_lf(flf, v: jnp.ndarray, weights: jnp.ndarray, h0: int) -> jnp.ndarray:
+    """Weighted halving tree over the LAST axis, limb-first.
 
-    v: (t, 2^j, L); weights: (t, m, L) with level h's weight at weights[:, h0+h].
-    Returns (t, 1?, L) reduced to (t, L)."""
-    m = v.shape[1].bit_length() - 1
+    v: (L, t, 2^j); weights: (L, t, m) with level h's weight at
+    weights[:, :, h0+h].  Returns (L, t)."""
+    m = v.shape[-1].bit_length() - 1
     for h in range(m):
-        v = f.add(v[:, 0::2], f.mul(weights[:, h0 + h][:, None, :], v[:, 1::2]))
-    return v[:, 0]
+        v = flf.add(v[:, :, 0::2], flf.mul(weights[:, :, h0 + h][:, :, None], v[:, :, 1::2]))
+    return v[:, :, 0]
 
 
 def _points_tree_fn(S: PlonkStructure, t: int):
     """Jitted: (sel, fixed, challenges, W1s, weights (t,m,L)) -> (t, L) tree
-    reductions of the shared gate-leaf array under t different weight sets."""
+    reductions of the shared gate-leaf array under t different weight sets.
+    Limb-first internally (leaves + tree); limb-last at the boundary."""
     key = ("Fpts", id(S), t)
     fn = _PG_COMPILED.get(key)
     if fn is None:
-        f = S.field
+        from ..fields.jfield_lf import from_lf, lf_for
+
+        flf = lf_for(S.field)
         N = count_of_evaluation_with_padding(S)
         m = max(N.bit_length() - 1, 0)
         C = min(_TREE_CHUNK, N)
         lc = max(C.bit_length() - 1, 0)
+        Lw = flf.zeros(()).shape[0]
 
         def run(sel, fixed, challenges, W1s, weights):
             dom = _make_eval_dom(S, sel, fixed, challenges, W1s)
-            vals = _leaves_traced(dom, S)  # (N, L)
+            vals = _leaves_traced_lf(dom, S)  # (L, N)
+            w_lf = jnp.moveaxis(weights, -1, 0)  # (L, t, m)
             if N > C:
-                chunks = vals.reshape(N // C, C, vals.shape[-1])
+                chunks = jnp.moveaxis(vals.reshape(Lw, N // C, C), 1, 0)  # (N/C, L, C)
 
                 def body(carry, chunk):
-                    v = jnp.broadcast_to(chunk[None], (t,) + chunk.shape)
-                    return carry, _tree_batched(f, v, weights, 0)
+                    v = jnp.broadcast_to(chunk[:, None], (Lw, t, C))
+                    return carry, _tree_batched_lf(flf, v, w_lf, 0)
 
-                _, tops = jax.lax.scan(body, 0, chunks)  # (N/C, t, L)
-                v = jnp.moveaxis(tops, 0, 1)  # (t, N/C, L)
-                return _tree_batched(f, v, weights, lc)
-            v = jnp.broadcast_to(vals[None], (t,) + vals.shape)
-            return _tree_batched(f, v, weights, 0)
+                _, tops = jax.lax.scan(body, 0, chunks)  # (N/C, L, t)
+                v = jnp.moveaxis(tops, 0, 2)  # (L, t, N/C)
+                return from_lf(_tree_batched_lf(flf, v, w_lf, lc))
+            v = jnp.broadcast_to(vals[:, None], (Lw, t, N))
+            return from_lf(_tree_batched_lf(flf, v, w_lf, 0))
 
         fn = jax.jit(run)
         _PG_COMPILED[key] = fn
@@ -275,26 +284,33 @@ def _g_points_fn(S: PlonkStructure, J1: int, nch: int):
     """Jitted all-G-points pipeline: for every FFT point X (lax.map, so peak
     memory stays one point's working set), fold the J1 stacked witnesses
     with ls(X), evaluate all gate leaves, tree-reduce with the shared beta'
-    weights.  ONE device program per fold instead of t dispatches."""
+    weights.  ONE device program per fold; limb-first internals."""
     key = ("Gpts", id(S), J1, nch)
     fn = _PG_COMPILED.get(key)
     if fn is None:
-        f = S.field
+        from ..fields.jfield_lf import from_lf, lf_for, to_lf
 
-        def one(sel, fixed, W_stacked, weights, ls, chs):
-            # ls: (J1, L); chs: (nch, L); W_stacked: per-round (J1, size, L)
-            W_folded = [
-                f.sum_reduce(f.mul(ls[:, None, :], w_r), axis=0) for w_r in W_stacked
+        flf = lf_for(S.field)
+
+        def one(sel, fixed, W_lf_stacked, w_lf, ls, chs):
+            # ls: (J1, L); chs: (nch, L); W_lf_stacked: per-round (L, J1, size)
+            ls_lf = jnp.moveaxis(ls, -1, 0)  # (L, J1)
+            W_folded_lf = [
+                flf.sum_reduce(flf.mul(ls_lf[:, :, None], w_r), axis=0)
+                for w_r in W_lf_stacked
             ]
             challenges = [chs[i] for i in range(nch)]
-            dom = _make_eval_dom(S, sel, fixed, challenges, W_folded)
-            vals = _leaves_traced(dom, S)[None]  # (1, N, L)
-            return _tree_batched(f, vals, weights[None], 0)[0]
+            dom = _make_eval_dom(S, sel, fixed, challenges, [])
+            dom._lf_W1s = W_folded_lf
+            vals = _leaves_traced_lf(dom, S)[:, None]  # (L, 1, N)
+            return from_lf(_tree_batched_lf(flf, vals, w_lf[:, None], 0)[:, 0])
 
         def run(sel, fixed, ls_all, ch_all, W_stacked, weights):
-            # ls_all: (t, J1, L); ch_all: (t, nch, L)
+            # ls_all: (t, J1, L); ch_all: (t, nch, L); weights: (m, L)
+            W_lf_stacked = [jnp.moveaxis(w, -1, 0) for w in W_stacked]  # (L, J1, size)
+            w_lf = jnp.moveaxis(weights, -1, 0)  # (L, m)
             return jax.lax.map(
-                lambda a: one(sel, fixed, W_stacked, weights, a[0], a[1]),
+                lambda a: one(sel, fixed, W_lf_stacked, w_lf, a[0], a[1]),
                 (ls_all, ch_all),
             )
 
@@ -375,10 +391,19 @@ def fold_witness_device(field, witnesses: Sequence[PlonkWitness], ls: Sequence[i
     key = ("foldW", f.spec.name, len(witnesses), len(witnesses[0].W))
     fn = _PG_COMPILED.get(key)
     if fn is None:
+        from ..fields.jfield_lf import from_lf, lf_for
+
+        flf = lf_for(f)
 
         def run(l_dev, W_stacked):
+            ls_lf = jnp.moveaxis(l_dev, -1, 0)  # (L, J)
             return [
-                f.sum_reduce(f.mul(l_dev[:, None, :], w_r), axis=0) for w_r in W_stacked
+                from_lf(
+                    flf.sum_reduce(
+                        flf.mul(ls_lf[:, :, None], jnp.moveaxis(w_r, -1, 0)), axis=0
+                    )
+                )
+                for w_r in W_stacked
             ]
 
         fn = jax.jit(run)

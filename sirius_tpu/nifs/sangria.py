@@ -188,14 +188,22 @@ class RelaxedPlonkWitness:
         key = (f.spec.name, len(self.W), len(cross_terms))
         fold_all = _FOLD_COMPILED.get(key)
         if fold_all is None:
+            from ..fields.jfield_lf import from_lf, lf_for, to_lf
+
+            flf = lf_for(f)
 
             def run(Ws1, Ws2, E, Ts, r_m):
-                newW = [f.add(w1, f.mul(r_m, w2)) for w1, w2 in zip(Ws1, Ws2)]
-                r_pow = r_m
+                r_lf = jnp.moveaxis(r_m, -1, 0)
+                newW = [
+                    from_lf(flf.add(to_lf(w1), flf.mul(r_lf[:, None], to_lf(w2))))
+                    for w1, w2 in zip(Ws1, Ws2)
+                ]
+                E_lf = to_lf(E)
+                r_pow = r_lf
                 for T in Ts:
-                    E = f.add(E, f.mul(r_pow, T))
-                    r_pow = f.mul(r_pow, r_m)
-                return newW, E
+                    E_lf = flf.add(E_lf, flf.mul(r_pow[:, None], to_lf(T)))
+                    r_pow = flf.mul(r_pow, r_lf)
+                return newW, from_lf(E_lf)
 
             fold_all = jax.jit(run)
             _FOLD_COMPILED[key] = fold_all

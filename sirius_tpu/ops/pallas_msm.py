@@ -121,6 +121,124 @@ def _msm_table_kernel(f: _F, B: int, TS: int, n_steps: int,
 GROUPS = SUBL * LANE  # 1024 parallel accumulation lanes per window
 
 
+# ---------------------------------------------------------------------------
+# Limb-FIRST curve ops on lists of arrays (plain XLA, outside Pallas).
+#
+# The jnp-level Points/Curve ops put limbs on the LAST axis; XLA maps the
+# last axis to the 128-wide lane dimension, so (..., 16)-shaped field ops
+# run at 1/8 lane utilization.  The bucket-table kernel's output is already
+# limb-major — doing the whole merge/suffix/Horner tail limb-first measured
+# 2.11 s -> tens of ms at 2^16 (it was 95% of the MSM wall-clock).
+# ---------------------------------------------------------------------------
+
+
+def _lf_is_zero(a):
+    nz = a[0] == 0
+    for x in a[1:]:
+        nz = nz & (x == 0)
+    return nz
+
+
+def _lf_select(cond, a, b):
+    return [jnp.where(cond, x, y) for x, y in zip(a, b)]
+
+
+def _lf_identity(f: _F, shape):
+    zero = jnp.zeros(shape, jnp.uint32)
+    return (
+        [zero] * L,
+        [jnp.full(shape, f.one_mont[l], jnp.uint32) for l in range(L)],
+        [zero] * L,
+    )
+
+
+def _lf_eq(a, b):
+    e = a[0] == b[0]
+    for x, y in zip(a[1:], b[1:]):
+        e = e & (x == y)
+    return e
+
+
+def _lf_dbl(f: _F, X, Y, Z):
+    """Jacobian doubling, a=0 (dbl-2009-l); identity-safe (z3 = 2*y*z)."""
+    A = f.square(X)
+    Bq = f.square(Y)
+    C = f.square(Bq)
+    T = f.square(f.add(X, Bq))
+    D = f.double(f.sub(f.sub(T, A), C))
+    E = f.add(f.double(A), A)
+    Fv = f.square(E)
+    x3 = f.sub(Fv, f.double(D))
+    y3 = f.sub(f.mul(E, f.sub(D, x3)), f.double(f.double(f.double(C))))
+    z3 = f.double(f.mul(Y, Z))
+    return x3, y3, z3
+
+
+def _complete_add_kernel(f: _F, x1, y1, z1, x2, y2, z2, ox, oy, oz):
+    P = ([x1[i] for i in range(L)], [y1[i] for i in range(L)], [z1[i] for i in range(L)])
+    Q = ([x2[i] for i in range(L)], [y2[i] for i in range(L)], [z2[i] for i in range(L)])
+    X3, Y3, Z3 = _lf_add(f, P, Q)
+    for i in range(L):
+        ox[i] = X3[i]
+        oy[i] = Y3[i]
+        oz[i] = Z3[i]
+
+
+@lru_cache(maxsize=None)
+def _complete_add_call(curve: Curve, S: int):
+    """Pallas complete Jacobian add over (L, S, 128) limb-first arrays."""
+    f = _F(curve.fb)
+    blk = min(8, S)
+    spec = pl.BlockSpec((L, blk, LANE), lambda s: (0, s, 0), memory_space=pltpu.VMEM)
+    shape = jax.ShapeDtypeStruct((L, S, LANE), jnp.uint32)
+    return pl.pallas_call(
+        partial(_complete_add_kernel, f),
+        grid=(S // blk,),
+        in_specs=[spec] * 6,
+        out_specs=[spec] * 3,
+        out_shape=[shape] * 3,
+    )
+
+
+def _lf_add(f: _F, P, Q):
+    """Complete Jacobian addition (mirror of `Curve.add`) on limb-first
+    lists; handles identities, doubling and inverse pairs by select."""
+    X1, Y1, Z1 = P
+    X2, Y2, Z2 = Q
+    z1z1 = f.square(Z1)
+    z2z2 = f.square(Z2)
+    u1 = f.mul(X1, z2z2)
+    u2 = f.mul(X2, z1z1)
+    s1 = f.mul(f.mul(Y1, Z2), z2z2)
+    s2 = f.mul(f.mul(Y2, Z1), z1z1)
+    h = f.sub(u2, u1)
+    r = f.sub(s2, s1)
+    hh = f.square(h)
+    r2 = f.square(r)
+    hhh = f.mul(h, hh)
+    v = f.mul(u1, hh)
+    x3 = f.sub(f.sub(r2, hhh), f.double(v))
+    y3 = f.sub(f.mul(r, f.sub(v, x3)), f.mul(s1, hhh))
+    z3 = f.mul(f.mul(Z1, Z2), h)
+    general = (x3, y3, z3)
+
+    p_inf = _lf_is_zero(Z1)
+    q_inf = _lf_is_zero(Z2)
+    h_zero = _lf_is_zero(h)
+    r_zero = _lf_is_zero(r)
+    dbl_case = h_zero & r_zero & ~p_inf & ~q_inf
+    inf_case = h_zero & ~r_zero & ~p_inf & ~q_inf
+
+    out = general
+    dblP = _lf_dbl(f, X1, Y1, Z1)
+    out = tuple(_lf_select(dbl_case, a, b) for a, b in zip(dblP, out))
+    ident = _lf_identity(f, out[0][0].shape)
+    out = tuple(_lf_select(inf_case, a, b) for a, b in zip(ident, out))
+    out = tuple(_lf_select(q_inf, a, b) for a, b in zip(P, out))
+    out = tuple(_lf_select(p_inf, a, b) for a, b in zip(Q, out))
+    return out
+
+
 @lru_cache(maxsize=None)
 def _table_call(curve: Curve, B: int, W: int, g: int, TS: int, interpret: bool = False):
     f = _F(curve.fb)
@@ -169,20 +287,41 @@ def _msm_fused_vmem(curve: Curve, c: int, W_real: int, g: int, TS: int,
 
     otx, oty, otz = _table_call(curve, B, W_real, g, TS, interpret)(digits, pxl, pyl)
 
-    # (W, L, B, 8, 128) -> (W, B, 1024, L) limb-last for the generic stages
-    def rearrange(a):
-        return jnp.transpose(a, (0, 2, 3, 4, 1)).reshape(W_real, B, GROUPS, L)
+    # --- group-merge tree, heavy levels (1024 -> 8 groups) in the Pallas
+    # complete-add kernel over limb-first tiles.  The pure-XLA limb-first
+    # variant OOM'd the compiler (~500k-op graph from unrolled CIOS muls);
+    # the limb-LAST variant ran at 1/8 lane utilization (2.1 s at 2^16).
+    WB = W_real * B
+    assert WB % LANE == 0, "W*B must be a multiple of 128 for the merge kernel"
 
-    table = Points(rearrange(otx), rearrange(oty), rearrange(otz))
+    def to_flat(a):  # (W, L, B, 8, 128) -> (L, 1024, WB)
+        return jnp.transpose(a, (1, 3, 4, 0, 2)).reshape(L, GROUPS, WB)
 
-    # group-merge tree over the 128-group axis (complete adds: identities
-    # are common for sparse buckets)
-    while table.x.shape[2] > 1:
-        h = table.x.shape[2] // 2
-        lo = Points(*(tc[:, :, :h] for tc in table))
-        hi = Points(*(tc[:, :, h:] for tc in table))
+    cur = tuple(to_flat(a) for a in (otx, oty, otz))
+    n_grp = GROUPS
+    while n_grp > 8:
+        h = n_grp // 2
+        S = (h * WB) // LANE
+        lo = tuple(a[:, :h].reshape(L, S, LANE) for a in cur)
+        hi = tuple(a[:, h:].reshape(L, S, LANE) for a in cur)
+        ox, oy, oz = _complete_add_call(curve, S)(*lo, *hi)
+        cur = tuple(a.reshape(L, h, WB) for a in (ox, oy, oz))
+        n_grp = h
+
+    # --- remaining tiny tail (8 -> 1 groups, suffix sums, Horner) in the
+    # compact limb-last jpoint ops: (L, 8, WB) -> (8, W, B, L)
+    def to_points(coords):
+        return Points(*(
+            jnp.transpose(a, (1, 2, 0)).reshape(8, W_real, B, L) for a in coords
+        ))
+
+    table = to_points(cur)
+    while table.x.shape[0] > 1:
+        h = table.x.shape[0] // 2
+        lo = Points(*(tc[:h] for tc in table))
+        hi = Points(*(tc[h:] for tc in table))
         table = curve.add(lo, hi)
-    buckets = Points(*(tc[:, :, 0] for tc in table))  # (Wp, B, L)
+    buckets = Points(*(tc[0] for tc in table))  # (W, B, L)
 
     # suffix-of-suffix = sum_v v * B_v per window
     bsteps = max((B - 1).bit_length(), 1)
@@ -195,9 +334,8 @@ def _msm_fused_vmem(curve: Curve, c: int, W_real: int, g: int, TS: int,
 
     suffix = jax.lax.fori_loop(0, bsteps, suf_body, buckets)
     total_scan = jax.lax.fori_loop(0, bsteps, suf_body, suffix)
-    totals = Points(total_scan.x[:, 0], total_scan.y[:, 0], total_scan.z[:, 0])  # (Wp,)
+    totals = Points(total_scan.x[:, 0], total_scan.y[:, 0], total_scan.z[:, 0])
 
-    # Horner over the W_real live windows, most significant first
     def at(i):
         return Points(*(jax.lax.dynamic_index_in_dim(tc, i, keepdims=False) for tc in totals))
 

@@ -47,7 +47,7 @@ def evaluate_expressions(
         if hit is not None:
             return hit
         if isinstance(e, Constant):
-            r = jnp.asarray(f.encode([e.value % f.p]))[0]
+            r = f.const(e.value % f.p)
         elif isinstance(e, Poly):
             r = resolve_poly(e.query)
         elif isinstance(e, Challenge):
@@ -59,7 +59,7 @@ def evaluate_expressions(
         elif isinstance(e, Product):
             r = f.mul(go(e.lhs), go(e.rhs))
         elif isinstance(e, Scaled):
-            r = f.mul(go(e.arg), jnp.asarray(f.encode([e.scalar % f.p]))[0])
+            r = f.mul(go(e.arg), f.const(e.scalar % f.p))
         else:
             raise TypeError(e)
         memo[e] = r
