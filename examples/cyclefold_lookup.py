@@ -31,12 +31,14 @@ def main():
     from sirius_tpu.curves.jpoint import BN256_G1, GRUMPKIN
     from sirius_tpu.gadgets.xor_lookup_step_circuit import XorLookupStepCircuit
     from sirius_tpu.ivc.cyclefold_ivc import CyclefoldIVC, CyclefoldPublicParams
-    from sirius_tpu.util.testing import MockCommitmentKey
+    from _keys import example_keys
 
+    ck1, ck2, key_kind = example_keys(args.k + 3, 16, label="cyclefold-lookup")
+    print(f"commitment keys: {key_kind}")
     t0 = time.time()
     pp = CyclefoldPublicParams(
         XorLookupStepCircuit(key=3), k=args.k,
-        ck_primary=MockCommitmentKey(BN256_G1), ck_support=MockCommitmentKey(GRUMPKIN),
+        ck_primary=ck1, ck_support=ck2,
     )
     print(f"public params ({pp.num_witness_primary} W-commitments/trace): "
           f"{time.time() - t0:.2f}s")

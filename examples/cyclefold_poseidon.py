@@ -28,13 +28,15 @@ def main():
     from sirius_tpu.fields.constants import bn256_fr
     from sirius_tpu.gadgets.poseidon_step_circuit import PoseidonStepCircuit
     from sirius_tpu.ivc.cyclefold_ivc import CyclefoldIVC, CyclefoldPublicParams
-    from sirius_tpu.util.testing import MockCommitmentKey
+    from _keys import example_keys
 
+    ck1, ck2, key_kind = example_keys(args.k + 3, 16, label="cyclefold-poseidon")
+    print(f"commitment keys: {key_kind}")
     t0 = time.time()
     pp = CyclefoldPublicParams(
         PoseidonStepCircuit(bn256_fr, repeat_count=args.repeat_count),
         k=args.k,
-        ck_primary=MockCommitmentKey(BN256_G1), ck_support=MockCommitmentKey(GRUMPKIN),
+        ck_primary=ck1, ck_support=ck2,
     )
     print(f"public params: {time.time() - t0:.2f}s "
           f"(gates={pp.n_gates}, challenges={pp.num_challenges_primary})")

@@ -24,12 +24,14 @@ def main():
     from sirius_tpu.curves.jpoint import BN256_G1, GRUMPKIN
     from sirius_tpu.ivc.cyclefold_ivc import CyclefoldIVC, CyclefoldPublicParams
     from sirius_tpu.ivc.step_circuit import TrivialStepCircuit
-    from sirius_tpu.util.testing import MockCommitmentKey
+    from _keys import example_keys
 
+    ck1, ck2, key_kind = example_keys(args.k + 3, 16, label="cyclefold-trivial")
+    print(f"commitment keys: {key_kind}")
     t0 = time.time()
     pp = CyclefoldPublicParams(
         TrivialStepCircuit(arity=1), k=args.k,
-        ck_primary=MockCommitmentKey(BN256_G1), ck_support=MockCommitmentKey(GRUMPKIN),
+        ck_primary=ck1, ck_support=ck2,
     )
     print(f"public params: {time.time() - t0:.2f}s")
     t0 = time.time()

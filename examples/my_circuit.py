@@ -51,13 +51,16 @@ def main():
     from sirius_tpu.curves.jpoint import BN256_G1, GRUMPKIN
     from sirius_tpu.ivc.sangria_ivc import IVC, PublicParams
     from sirius_tpu.ivc.step_circuit import TrivialStepCircuit
-    from sirius_tpu.util.testing import MockCommitmentKey
+    from _keys import example_keys
+
+    ck1, ck2, key_kind = example_keys(args.k + 3, args.k + 3, label="my-circuit")
+    print(f"commitment keys: {key_kind}")
 
     pp = PublicParams(
         MyStepCircuit(),
         TrivialStepCircuit(arity=A2),
         k1=TABLE_SIZE, k2=TABLE_SIZE,
-        ck1=MockCommitmentKey(BN256_G1), ck2=MockCommitmentKey(GRUMPKIN),
+        ck1=ck1, ck2=ck2,
     )
     t0 = time.time()
     ivc = IVC(pp, list(range(A1)), [0])

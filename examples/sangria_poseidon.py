@@ -28,13 +28,16 @@ def main():
     from sirius_tpu.gadgets.poseidon_step_circuit import PoseidonStepCircuit
     from sirius_tpu.ivc.sangria_ivc import IVC, PublicParams
     from sirius_tpu.ivc.step_circuit import TrivialStepCircuit
-    from sirius_tpu.util.testing import MockCommitmentKey
+    from _keys import example_keys
+
+    ck1, ck2, key_kind = example_keys(args.k + 3, args.k + 3, label="sangria-poseidon")
+    print(f"commitment keys: {key_kind}")
 
     pp = PublicParams(
         PoseidonStepCircuit(bn256_fr, repeat_count=args.repeat_count),
         TrivialStepCircuit(arity=1),
         k1=args.k, k2=args.k,
-        ck1=MockCommitmentKey(BN256_G1), ck2=MockCommitmentKey(GRUMPKIN),
+        ck1=ck1, ck2=ck2,
     )
     t0 = time.time()
     ivc = IVC(pp, [0x42], [0])

@@ -29,14 +29,17 @@ def main():
     from sirius_tpu.gadgets.sha256_step_circuit import Sha256StepCircuit
     from sirius_tpu.ivc.sangria_ivc import IVC, PublicParams
     from sirius_tpu.ivc.step_circuit import TrivialStepCircuit
-    from sirius_tpu.util.testing import MockCommitmentKey
+    from _keys import example_keys
+
+    ck1, ck2, key_kind = example_keys(args.k + 3, args.k + 3, label="sha256")
+    print(f"commitment keys: {key_kind}")
 
     t0 = time.time()
     pp = PublicParams(
         Sha256StepCircuit(bn256_fr),
         TrivialStepCircuit(arity=1),
         k1=args.k, k2=args.k,
-        ck1=MockCommitmentKey(BN256_G1), ck2=MockCommitmentKey(GRUMPKIN),
+        ck1=ck1, ck2=ck2,
     )
     print(f"public params: {time.time() - t0:.2f}s "
           f"(primary probe: ct={pp.primary_probe.num_cross_terms}, "

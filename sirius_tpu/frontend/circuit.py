@@ -130,6 +130,14 @@ class _SymbolicIndex:
         raise TypeError("symbolic index must be flattened before use")
 
 
+class TableOverflow(Exception):
+    def __init__(self, k, row):
+        super().__init__(
+            f"circuit needs row {row} but the table has 2^{k} rows — "
+            f"increase k (the step-folding circuits need k >= 17)"
+        )
+
+
 class Assignment:
     """Single-pass synthesis sink: advice/fixed/selectors/copies/instances.
 
@@ -153,6 +161,8 @@ class Assignment:
 
     def assign_advice(self, col: Column, row: int, value: int):
         assert col.kind == "advice"
+        if row >= self.n:
+            raise TableOverflow(self.k, row)
         self.advice[col.index][row] = value % self.p
         self.advice_assigned[col.index][row] = True
 
