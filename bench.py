@@ -109,7 +109,7 @@ def bench_cyclefold_ivc(k: int, key_k: int):
 
     t0 = time.time()
     ck1 = CommitmentKey.setup(BN256_G1, key_k, b"bench-primary", use_cache=True)
-    ck2 = CommitmentKey.setup(GRUMPKIN, SUPPORT_K + 2, b"bench-support", use_cache=True)
+    ck2 = CommitmentKey.setup(GRUMPKIN, SUPPORT_K + 3, b"bench-support", use_cache=True)
     key_s = time.time() - t0
 
     t0 = time.time()
@@ -139,7 +139,11 @@ def main():
     on_tpu = backend != "cpu"
     scope = os.environ.get("SIRIUS_TPU_BENCH_SCOPE", "full")
     log_n = 20 if on_tpu else 10
-    ivc_k = int(os.environ.get("SIRIUS_TPU_BENCH_K", "20" if on_tpu else "8"))
+    # primary table size: default 17 (the sangria bench config scale,
+    # `benches/sangria_poseidon.rs:29-31`); the reference cyclefold rows are
+    # k=20 — set SIRIUS_TPU_BENCH_K=20 for the full-scale run (first compile
+    # of the k=20 graphs through the remote-compile tunnel is slow)
+    ivc_k = int(os.environ.get("SIRIUS_TPU_BENCH_K", "17" if on_tpu else "8"))
     key_k = max(ivc_k + 3, 14)
 
     msm_pts, ck = bench_msm(BN256_G1, log_n)

@@ -13,6 +13,7 @@ import os
 
 
 def example_keys(k_primary: int, k_support: int | None = None, label: str = "example"):
+    # NB: the cyclefold support circuit at SUPPORT_K=14 needs ~2^17 key points
     import jax
 
     from sirius_tpu.curves.jpoint import BN256_G1, GRUMPKIN

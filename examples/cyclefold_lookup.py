@@ -33,7 +33,7 @@ def main():
     from sirius_tpu.ivc.cyclefold_ivc import CyclefoldIVC, CyclefoldPublicParams
     from _keys import example_keys
 
-    ck1, ck2, key_kind = example_keys(args.k + 3, 16, label="cyclefold-lookup")
+    ck1, ck2, key_kind = example_keys(args.k + 3, 17, label="cyclefold-lookup")
     print(f"commitment keys: {key_kind}")
     t0 = time.time()
     pp = CyclefoldPublicParams(

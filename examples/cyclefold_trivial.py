@@ -26,7 +26,7 @@ def main():
     from sirius_tpu.ivc.step_circuit import TrivialStepCircuit
     from _keys import example_keys
 
-    ck1, ck2, key_kind = example_keys(args.k + 3, 16, label="cyclefold-trivial")
+    ck1, ck2, key_kind = example_keys(args.k + 3, 17, label="cyclefold-trivial")
     print(f"commitment keys: {key_kind}")
     t0 = time.time()
     pp = CyclefoldPublicParams(

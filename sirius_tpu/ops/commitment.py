@@ -70,7 +70,10 @@ class CommitmentKey:
             # bound peak memory at reference-scale keys (2^23+)
             from ..curves.hash_to_curve import hash_bytes_to_points_device
 
-            chunk = min(n, 1 << 19)
+            # fixed chunk size: every key size shares ONE compiled SVDW
+            # program (a 2^19-wide variant spent tens of minutes in the
+            # remote compiler)
+            chunk = min(n, 1 << 16)
             parts = [
                 hash_bytes_to_points_device(curve, stream[i * 64 : (i + chunk) * 64])
                 for i in range(0, n, chunk)

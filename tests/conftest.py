@@ -21,13 +21,39 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax
 
 jax.config.update("jax_platforms", "cpu")
-# Persistent compilation cache: the limbed field kernels produce large XLA
-# graphs; caching makes repeated test runs cheap.
-jax.config.update("jax_compilation_cache_dir", "/tmp/sirius_tpu_xla_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# NO persistent compilation cache for the CPU suite: XLA:CPU's executable
+# (de)serialization segfaults on some of the limb-first programs (observed
+# in both cache read and write paths), and entries AOT-compiled with other
+# machines' CPU feature sets SIGILL on load.  TPU runs (bench, scripts)
+# keep their own persistent cache.
 
 import numpy as np
 import pytest
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _clear_compiled_caches():
+    """Drop compiled-program caches between test modules.
+
+    The suite accumulates hundreds of live executables (jitted closures in
+    the protocol-level caches pin their structures and device buffers);
+    past ~90 tests XLA:CPU's compiler deterministically aborts compiling
+    the next big program.  Per-module clearing keeps the working set
+    bounded; the affected modules recompile their own programs anyway.
+    """
+    yield
+    import jax
+
+    from sirius_tpu.nifs import protogalaxy as _pg
+    from sirius_tpu.nifs import sangria as _sg
+    from sirius_tpu.plonk import eval as _ev
+    from sirius_tpu.plonk import permutation as _pm
+
+    _pg._PG_COMPILED.clear()
+    _sg._FOLD_COMPILED.clear()
+    _ev._COMPILED_CACHE.clear()
+    _pm._PERM_IDX_CACHE.clear()
+    jax.clear_caches()
 
 
 @pytest.fixture(scope="session")
