@@ -140,6 +140,14 @@ class CyclefoldSFC:
         return mg.le_bits_to_num(ctx, bits[:NUM_CHALLENGE_BITS])
 
     def synthesize(self, config, asn):
+        import os as _os
+
+        _dbg = _os.environ.get("SIRIUS_TPU_DEBUG_SFC")
+
+        def _phase(ctx_, name):
+            if _dbg:
+                print(f"[sfc] {name}: offset={ctx_.offset}", flush=True)
+
         mg_cfg, inst, sc_cfg = config
         mg = MainGate(mg_cfg, asn.p)
         inp = self.inp
@@ -171,6 +179,7 @@ class CyclefoldSFC:
             for cross in inp.support_cross_commits
         ]
 
+        _phase(ctx, "assignments")
         is_zero_step = mg.is_zero_term(ctx, step_cell)
 
         # --- input marker check (bypassed at base case)
@@ -178,10 +187,16 @@ class CyclefoldSFC:
             ctx, mg, pg_chip, fold_chip, (pp0, pp1), step_cell, z_0, z_i,
             acc_assigned, support_acc_assigned,
         )
+        # the incoming trace's OUTPUT marker (markers[1]) binds the state the
+        # SFC is folding from; markers[0] is the previous chain link, already
+        # checked by the previous step's SFC.  (Comparing against markers[0]
+        # here was a latent bug that only fires once a next-trace is folded —
+        # i.e. from the second fold step on.)
         u_markers = incoming_assigned.instances[0]
-        expected = mg.conditional_select(ctx, is_zero_step, u_markers[0], computed_x0)
-        ctx.constrain_equal(expected, u_markers[0])
+        expected = mg.conditional_select(ctx, is_zero_step, u_markers[1], computed_x0)
+        ctx.constrain_equal(expected, u_markers[1])
 
+        _phase(ctx, "x0-marker-check")
         # --- on-circuit SPS verify of the incoming trace (reference
         # `verify_sps`, ivc/protogalaxy/mod.rs:946-975): re-derive its SPS
         # challenges in-circuit; bypassed at the base case (dry incoming)
@@ -189,11 +204,13 @@ class CyclefoldSFC:
             ctx, incoming_assigned, bn, NUM_CHALLENGE_BITS, bypass=is_zero_step
         )
 
+        _phase(ctx, "sps-verify")
         # --- on-circuit ProtoGalaxy verify
         folded_acc, ls = pg_chip.verify(
             ctx, spec, (pp0, pp1), acc_assigned, [incoming_assigned], pF, pK
         )
 
+        _phase(ctx, "pg-verify")
         # --- delegation consistency: the i-th support instance's public IO
         # binds p0 = acc W[i], p1 = incoming W[i], scalars = (l0, l1),
         # p_out = new W[i].  Support IO values live in Fq; their limb
@@ -225,6 +242,7 @@ class CyclefoldSFC:
             )
         folded_acc.ins.W_commitments = new_Ws
 
+        _phase(ctx, "delegation+support-folds")
         # --- base-case selects
         def sel_cells(a, b):
             return mg.conditional_select(ctx, is_zero_step, a, b)
@@ -259,11 +277,13 @@ class CyclefoldSFC:
             None, ctx, mg, is_zero_step, support_acc_assigned, folded_support
         )
 
+        _phase(ctx, "base-selects")
         # --- user step
         sc_ctx = RegionCtx(asn, ctx.offset)
         z_next = self.sc.synthesize_step(sc_cfg, sc_ctx, z_i)
         ctx.offset = sc_ctx.offset
 
+        _phase(ctx, "user-step")
         # --- output marker
         step_next = mg.add_with_const(ctx, step_cell, 1)
         x1 = self._marker_hash(
@@ -271,6 +291,7 @@ class CyclefoldSFC:
             acc_out, support_out,
         )
 
+        _phase(ctx, "out-marker")
         asn.copy(u_markers[1].column, u_markers[1].row, inst, 0)
         asn.copy(x1.column, x1.row, inst, 1)
         self.x1_value = x1.value

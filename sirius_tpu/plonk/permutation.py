@@ -191,3 +191,17 @@ def device_perm_mismatches(f, idx, head_ints: Sequence[int], W0_slice) -> int:
         fn = jax.jit(run)
         _PERM_IDX_CACHE[key] = fn
     return int(fn(jnp.asarray(idx), head, W0_slice))
+
+
+def device_perm_mismatch_indices(f, idx, head_ints, W0_slice, limit: int = 16):
+    """Debug variant: flat Z indices where Z[idx] != Z (first `limit`)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    head = f.encode([v % f.p for v in head_ints])
+    if head.ndim == 1:
+        head = head.reshape(0, W0_slice.shape[-1])
+    Z = jnp.concatenate([head, W0_slice], axis=0)
+    bad = ~jnp.all(Z[jnp.asarray(idx)] == Z, axis=-1)
+    rows = np.nonzero(np.asarray(bad))[0][:limit]
+    return [(int(r), int(idx[r])) for r in rows]
