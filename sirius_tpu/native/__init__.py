@@ -174,6 +174,85 @@ def get_field(p: int, b: int = 0) -> NativeField:
     return _FIELD_CACHE[key]
 
 
+# ------------------------------------------------------------- witness tape
+
+_TAPE_SRC = Path(__file__).with_name("witness_tape.cpp")
+_tape_lib = None
+_tape_error: str | None = None
+
+
+def _load_tape():
+    global _tape_lib, _tape_error
+    if _tape_lib is not None or _tape_error is not None:
+        return _tape_lib
+    if os.environ.get("SIRIUS_TPU_NATIVE", "1") == "0":
+        _tape_error = "disabled via SIRIUS_TPU_NATIVE=0"
+        return None
+    try:
+        src = _TAPE_SRC.read_bytes()
+        tag = hashlib.sha256(src).hexdigest()[:16]
+        _CACHE_DIR.mkdir(parents=True, exist_ok=True)
+        so = _CACHE_DIR / f"witness_tape-{tag}.so"
+        if not so.exists():
+            tmp = so.with_suffix(f".tmp{os.getpid()}.so")
+            cmd = [
+                "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
+                "-o", str(tmp), str(_TAPE_SRC),
+            ]
+            subprocess.run(cmd, check=True, capture_output=True, timeout=300)
+            os.replace(tmp, so)
+        lib = ctypes.CDLL(str(so))
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        u32p = ctypes.POINTER(ctypes.c_uint32)
+        lib.sirius_tape_replay.restype = ctypes.c_int
+        lib.sirius_tape_replay.argtypes = [
+            u8p, u32p, u32p, u32p, ctypes.c_int64, ctypes.c_int64,
+            u8p, u8p, u8p, ctypes.c_int64, u32p, ctypes.c_int64, u8p,
+        ]
+        _tape_lib = lib
+    except Exception as exc:
+        _tape_error = f"tape build failed: {exc}"
+        return None
+    return _tape_lib
+
+
+def tape_replay_native(finalized, inputs, out_slots: np.ndarray):
+    """Run the C++ tape interpreter; None if the library is unavailable.
+
+    `finalized` = (code u8, a u32, b u32, c u32, const int list) from
+    `TapeBuilder._finalize()`.
+    """
+    lib = _load_tape()
+    if lib is None:
+        return None
+    code, a, b, c, consts = finalized
+    n_ops = len(code)
+    inp_buf = b"".join(int(v).to_bytes(32, "little") for v in inputs)
+    mag_buf = b"".join(abs(int(v)).to_bytes(128, "little") for v in consts)
+    neg_buf = bytes(1 if v < 0 else 0 for v in consts)
+    inp_arr = np.frombuffer(inp_buf, dtype=np.uint8) if inp_buf else np.zeros(1, np.uint8)
+    mag_arr = np.frombuffer(mag_buf, dtype=np.uint8) if mag_buf else np.zeros(1, np.uint8)
+    neg_arr = np.frombuffer(neg_buf, dtype=np.uint8) if neg_buf else np.zeros(1, np.uint8)
+    out_slots = np.ascontiguousarray(out_slots, dtype=np.uint32)
+    out = np.zeros((len(out_slots), 32), dtype=np.uint8)
+
+    def p8(x):
+        return x.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+    def p32(x):
+        return x.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32))
+
+    rc = lib.sirius_tape_replay(
+        p8(code), p32(a), p32(b), p32(c),
+        n_ops, len(inputs),
+        p8(inp_arr), p8(mag_arr), p8(neg_arr), len(consts),
+        p32(out_slots), len(out_slots), p8(out),
+    )
+    if rc != 0:
+        raise RuntimeError(f"native tape replay failed with code {rc}")
+    return out
+
+
 def native_msm(curve, points, scalars, cbits: int = 0, threads: int = 0):
     """MSM over `fields.gold.AffinePoint`s on a CurveSpec; returns AffinePoint.
 
