@@ -351,3 +351,17 @@ def bit(x, i: int):
 
 def is_traced(x) -> bool:
     return isinstance(x, Tr)
+
+
+def clamp(x, lo: int, hi: int):
+    """Tighten the tracer's range info for `x` (no op emitted).
+
+    Sound only where the surrounding constraints already enforce the bound
+    for honest witnesses (e.g. a remainder produced by MODC then recomposed
+    from range-checked limbs); the native replay still hard-fails if a
+    violating value reaches an output slot.
+    """
+    if isinstance(x, Tr):
+        return Tr(x.t, x.s, max(x.lb, lo), min(x.ub, hi))
+    assert lo <= x <= hi
+    return x

@@ -136,7 +136,11 @@ class BigUintChip:
         limb range checks."""
         mg, w, k = self.mg, self.w, self.k
         p = mg.p
-        av = a.value
+        from ..frontend.tape import clamp
+
+        # the caller guarantees a < bound for honest witnesses (a is a MODC
+        # remainder recomposed from range-checked limbs); tell the tracer
+        av = clamp(a.value, 0, bound - 1)
         assert 0 <= av < bound <= 1 << (w * k)
         d = self.assign_biguint(ctx, bound - 1 - av)
         mask = (1 << w) - 1
@@ -211,7 +215,11 @@ class BigUintChip:
                 L_int += addend.limbs[j].value
             R_int = sum(qc.value * ml for qc, ml in qs) + (r_cell.value if r_cell else 0)
             c_int = (L_int - R_int + carry_int_prev) >> w
-            assert (L_int - R_int + carry_int_prev) & ((1 << w) - 1) == 0, "carry identity broken"
+            from ..frontend.tape import is_traced
+
+            assert is_traced(c_int) or (
+                (L_int - R_int + carry_int_prev) & ((1 << w) - 1) == 0
+            ), "carry identity broken"
             c_prime = c_int + OFF
             assert 0 <= c_prime < (1 << cbits), f"carry out of range at col {j}"
             c_cell = mg.assign_value(ctx, c_prime)

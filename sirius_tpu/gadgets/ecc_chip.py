@@ -13,6 +13,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Sequence
 
+from ..frontend.tape import inv0 as _inv0
 from .main_gate import AssignedCell, MainGate, RegionCtx
 
 
@@ -68,7 +69,7 @@ class EccChip:
         unconstrained-but-witnessed-0 (callers must select away that case)."""
         mg, p = self.mg, self.mg.p
         dv = den.value % p
-        lam = num.value * pow(dv, -1, p) % p if dv else 0
+        lam = num.value * _inv0(dv, p) % p
         lam_cell = mg.assign_value(ctx, lam)
         # lam * den - num = 0 ... only enforceable when den != 0; to stay
         # complete we enforce lam*den - num*flag = 0 with flag = (den != 0):
@@ -144,7 +145,7 @@ class EccChip:
         num = mg.sub(ctx, b.y, a.y)
         den = mg.sub(ctx, b.x, a.x)
         dv = den.value % p
-        lam_v = num.value * pow(dv, -1, p) % p if dv else 0
+        lam_v = num.value * _inv0(dv, p) % p
         lam = mg.assign_value(ctx, lam_v)
         # lam * den - num = 0
         mg.apply(ctx, [lam, den, num], q_1=[0, 0, p - 1], q_m=[1, 0])
@@ -160,7 +161,7 @@ class EccChip:
         three_x2 = mg.mul_by_const(ctx, x2, 3)
         two_y = mg.mul_by_const(ctx, a.y, 2)
         tv = two_y.value % p
-        lam_v = three_x2.value * pow(tv, -1, p) % p if tv else 0
+        lam_v = three_x2.value * _inv0(tv, p) % p
         lam = mg.assign_value(ctx, lam_v)
         mg.apply(ctx, [lam, two_y, three_x2], q_1=[0, 0, p - 1], q_m=[1, 0])
         lam2 = mg.mul(ctx, lam, lam)

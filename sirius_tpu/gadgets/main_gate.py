@@ -18,6 +18,7 @@ from dataclasses import dataclass
 from typing import Optional, Sequence
 
 from ..frontend.circuit import Assignment, Column, ConstraintSystemBuilder
+from ..frontend.tape import bit as _bit, inv0 as _inv0, is_zero as _is_zero
 
 
 @dataclass(frozen=True)
@@ -275,7 +276,7 @@ class MainGate:
         p = self.p
         T = self.cfg.T
         v = self._cv(a)
-        bits = [(v >> i) & 1 for i in range(num_bits)]
+        bits = [_bit(v, i) for i in range(num_bits)]
         bit_cells: list[AssignedCell] = []
         for i in range(0, num_bits, T):
             bit_cells.extend(self.assign_values_row(ctx, bits[i : i + T]))
@@ -314,8 +315,8 @@ class MainGate:
         (reference `gadgets/util.rs` is_zero_term)."""
         p = self.p
         av = self._cv(a)
-        inv = pow(av, -1, p) if av else 0
-        r = 1 if av == 0 else 0
+        inv = _inv0(av, p)
+        r = _is_zero(av)
         r_cell = self.assign_value(ctx, r)
         inv_cell = self.assign_value(ctx, inv)
         # a * r = 0

@@ -212,7 +212,9 @@ class ProtoGalaxyVerifyChip:
         w_i = 1
         for i in range(n):
             denom = mg.add_with_const(ctx, gamma, (-w_i) % p)
-            inv_v = pow(denom.value, -1, p) if denom.value else 0
+            from ..frontend.tape import inv0 as _inv0
+
+            inv_v = _inv0(denom.value, p)
             inv = mg.assign_value(ctx, inv_v)
             # denom * inv = 1 (gamma must not hit the domain; negligible)
             mg.apply(ctx, [denom, inv], q_m=[1, 0], rc=p - 1)

@@ -45,6 +45,7 @@ from ..plonk.sps import run_sps_protocol
 from ..plonk.structure import PlonkInstance, PlonkTrace
 from ..poly import lagrange
 from ..util.digest import digest_ints_to_bits, into_curve_from_bits, structure_digest_stream
+from ..util.profiling import span
 from ..util.ro import MAX_BITS, NUM_CHALLENGE_BITS
 from .sangria_ivc import default_ro_spec
 from .step_circuit import StepCircuit
@@ -284,6 +285,7 @@ class CyclefoldSFC:
         ctx.offset = sc_ctx.offset
 
         _phase(ctx, "user-step")
+        self.z_next_values = [c.value for c in z_next]
         # --- output marker
         step_next = mg.add_with_const(ctx, step_cell, 1)
         x1 = self._marker_hash(
@@ -302,6 +304,80 @@ class CyclefoldSFC:
 
 
 # ---------------------------------------------------------------------------
+# Witness-tape input packing (trace-once / replay-native synthesis; see
+# frontend/taped.py).  `_cf_pack` is the single canonical walk over the
+# dynamic leaves of CyclefoldStepInputs — both the flattener (replay inputs)
+# and the tracer (Tr wrapping) ride it, so the orders cannot drift.
+# ---------------------------------------------------------------------------
+
+
+def _cf_pack(inp: CyclefoldStepInputs, P) -> CyclefoldStepInputs:
+    from types import SimpleNamespace
+
+    from ..frontend.taped import _TrPoint, point_leaves
+
+    def pt(g):
+        x, y = point_leaves(g)
+        return _TrPoint(P(x), P(y))
+
+    def pi(u):
+        return SimpleNamespace(
+            W_commitments=[pt(c) for c in u.W_commitments],
+            instances=[[P(v) for v in row] for row in u.instances],
+            challenges=[P(v) for v in u.challenges],
+        )
+
+    acc, sup = inp.self_acc, inp.support_acc
+    return CyclefoldStepInputs(
+        step=P(inp.step),
+        pp_digest=(P(inp.pp_digest[0]), P(inp.pp_digest[1])),
+        z_0=[P(v) for v in inp.z_0],
+        z_i=[P(v) for v in inp.z_i],
+        self_acc=SimpleNamespace(
+            ins=pi(acc.ins), betas=[P(b) for b in acc.betas], e=P(acc.e)
+        ),
+        self_incoming=pi(inp.self_incoming),
+        proof=SimpleNamespace(
+            poly_F=SimpleNamespace(coeffs=[P(c) for c in inp.proof.poly_F.coeffs]),
+            poly_K=SimpleNamespace(coeffs=[P(c) for c in inp.proof.poly_K.coeffs]),
+        ),
+        support_acc=SimpleNamespace(
+            W_commitments=[pt(c) for c in sup.W_commitments],
+            E_commitment=pt(sup.E_commitment),
+            consistency_markers=[P(v) for v in sup.consistency_markers],
+            challenges=[P(v) for v in sup.challenges],
+            u=P(sup.u),
+            sc_instances_hash_acc=(
+                None
+                if sup.sc_instances_hash_acc is None
+                else P(sup.sc_instances_hash_acc)
+            ),
+        ),
+        support_incoming=[pi(u) for u in inp.support_incoming],
+        support_cross_commits=[
+            [pt(t) for t in cross] for cross in inp.support_cross_commits
+        ],
+    )
+
+
+def _cf_flatten(inp: CyclefoldStepInputs) -> list[int]:
+    out: list[int] = []
+
+    def P(v):
+        out.append(int(v))
+        return v
+
+    _cf_pack(inp, P)
+    return out
+
+
+def _sup_flatten(si: InstanceInput) -> list[int]:
+    from ..frontend.taped import point_leaves
+
+    return [*point_leaves(si.p0), *point_leaves(si.p1), si.l0, si.l1]
+
+
+# ---------------------------------------------------------------------------
 # Public params + driver
 # ---------------------------------------------------------------------------
 
@@ -317,14 +393,29 @@ class CyclefoldPublicParams:
         self.f1 = bn256_fr
         self.f2 = bn256_fq
 
-        # support structure (shape-stable across inputs)
-        sup = SupportCircuit(
-            InstanceInput(gold.identity(bn256_g1), gold.identity(bn256_g1), 0, 0),
-            num_bits=self.f1.num_bits,
-        )
-        sup_runner = CircuitRunner(SUPPORT_K, self.f2, sup, [sup.inp.into_instance(self.f2.modulus)])
+        from ..frontend.tape import TapeBuilder
+        from ..frontend.taped import TapedSynthesis, _TrPoint, tape_enabled
+
+        self.support_taped = None
+        self.sfc_taped = None
+        use_tape = tape_enabled()
+
+        # support structure (shape-stable across inputs); when taping is on,
+        # the dry structure synthesis doubles as the witness trace
+        if use_tape:
+            sup_tape = TapeBuilder()
+            si = sup_tape.inputs(6)
+            sup_inp = InstanceInput(_TrPoint(si[0], si[1]), _TrPoint(si[2], si[3]), si[4], si[5])
+            sup_instances = [[0] * SUPPORT_IO]
+        else:
+            sup_inp = InstanceInput(gold.identity(bn256_g1), gold.identity(bn256_g1), 0, 0)
+            sup_instances = [sup_inp.into_instance(self.f2.modulus)]
+        sup = SupportCircuit(sup_inp, num_bits=self.f1.num_bits)
+        sup_runner = CircuitRunner(SUPPORT_K, self.f2, sup, sup_instances)
         self.S_support = sup_runner.collect_plonk_structure()
         assert self.S_support.num_challenges == 0
+        if use_tape:
+            self.support_taped = TapedSynthesis(sup_tape, sup_runner._asn, named={})
 
         # primary SFC structure via dry run (gate count probed first so the
         # dry proof-poly lengths match the real ones)
@@ -355,10 +446,18 @@ class CyclefoldPublicParams:
         # step-circuit-dependent (extra gates add a compression challenge)
         self.num_challenges_primary = probe_meta.num_challenges
         self.num_witness_primary = len(probe_meta.round_sizes)
-        dry = CyclefoldSFC(step_circuit, self._dry_inputs(), self.f1)
+        dry_inputs = self._dry_inputs()
+        if use_tape:
+            sfc_tape = TapeBuilder()
+            dry_inputs = _cf_pack(dry_inputs, lambda v: sfc_tape.input())
+        dry = CyclefoldSFC(step_circuit, dry_inputs, self.f1)
         runner = CircuitRunner(k, self.f1, dry, [[0, 0]])
         self.S_primary = runner.collect_plonk_structure()
         assert len(self.S_primary.gates) == self.n_gates
+        if use_tape:
+            named = {"x0": dry.x0_value, "x1": dry.x1_value}
+            named.update({f"z{i}": v for i, v in enumerate(dry.z_next_values)})
+            self.sfc_taped = TapedSynthesis(sfc_tape, runner._asn, named=named)
 
         bits = digest_ints_to_bits(
             structure_digest_stream(self.S_primary) + structure_digest_stream(self.S_support)
@@ -482,28 +581,53 @@ class CyclefoldIVC:
             W=_zero_relaxed_witness(pp.S_support),
         )
 
-        z_out = pp.sc.process_step(self.z_0, pp.k, f1)
-        x1 = cyclefold_marker(
-            f1, pp.digest_coords(), 1, self.z_0, z_out,
-            pg.AccumulatorInstance.from_acc(self.self_acc), self.support_acc.U,
-        )
         inputs = pp._dry_inputs()
         inputs.pp_digest = pp.digest_coords()
         inputs.z_0 = list(self.z_0)
         inputs.z_i = list(self.z_0)
         inputs.self_acc = pg.AccumulatorInstance.from_acc(self.self_acc)
         inputs.support_acc = self.support_acc.U
-        sfc = CyclefoldSFC(pp.sc, inputs, f1)
-        markers = [0, x1]
-        instances = sfc.instances(markers)
-        runner = CircuitRunner(pp.k, f1, sfc, instances)
-        W = runner.collect_witness()
-        assert sfc.x1_value == x1, "cyclefold new: on/off-circuit X1 mismatch"
+        W, z_out, x1 = self._sfc_witness(
+            inputs, lambda z: cyclefold_marker(
+                f1, pp.digest_coords(), 1, self.z_0, z,
+                pg.AccumulatorInstance.from_acc(self.self_acc), self.support_acc.U,
+            ),
+        )
+        instances = [[0, x1]]
         self.primary_trace = run_sps_protocol(
             pp.S_primary, pp.ck1, instances, W, PoseidonHash(default_ro_spec(f1))
         )
         self.z_i = z_out
         self.support_pub_instances: list = []
+
+    def _sfc_witness(self, inputs: CyclefoldStepInputs, marker_of_z, x0: int = 0):
+        """Produce the SFC advice witness for `inputs`: native tape replay
+        when the pp carries a trace (the default), else direct synthesis.
+        Returns (W, z_next, x1) with the on-/off-circuit X1 cross-checked."""
+        pp = self.pp
+        arity = pp.sc.arity
+        if pp.sfc_taped is not None:
+            W, named = pp.sfc_taped.replay(_cf_flatten(inputs))
+            z_next = [named[f"z{i}"] for i in range(arity)]
+            x1 = marker_of_z(z_next)
+            assert named["x1"] == x1, "cyclefold: on/off-circuit X1 mismatch"
+            return W, z_next, x1
+        z_next = pp.sc.process_step(inputs.z_i, pp.k, pp.f1)
+        x1 = marker_of_z(z_next)
+        sfc = CyclefoldSFC(pp.sc, inputs, pp.f1)
+        runner = CircuitRunner(pp.k, pp.f1, sfc, [[x0, x1]])
+        W = runner.collect_witness()
+        assert sfc.x1_value == x1, "cyclefold: on/off-circuit X1 mismatch"
+        return W, z_next, x1
+
+    def _support_witness(self, sup_circuit: SupportCircuit):
+        pp = self.pp
+        if pp.support_taped is not None:
+            W, _ = pp.support_taped.replay(_sup_flatten(sup_circuit.inp))
+            return W
+        sup_instances = [sup_circuit.inp.into_instance(pp.f2.modulus)]
+        sup_runner = CircuitRunner(SUPPORT_K, pp.f2, sup_circuit, sup_instances)
+        return sup_runner.collect_witness()
 
     def next(self):
         """One cyclefold step (reference `next`, mod.rs:210-324)."""
@@ -514,9 +638,10 @@ class CyclefoldIVC:
         prev_acc_ins = pg.AccumulatorInstance.from_acc(self.self_acc)
         prev_trace = self.primary_trace
 
-        new_acc, proof = pg.ProtoGalaxy.prove(
-            pp.ck1, pp.pg_pp, ro(), self.self_acc, [prev_trace]
-        )
+        with span("pg_prove"):
+            new_acc, proof = pg.ProtoGalaxy.prove(
+                pp.ck1, pp.pg_pp, ro(), self.self_acc, [prev_trace]
+            )
 
         # re-derive gamma verifier-style to evaluate L0/L1
         ro2 = ro()
@@ -540,6 +665,8 @@ class CyclefoldIVC:
         new_support_acc = self.support_acc
         support_incoming: list[PlonkInstance] = []
         support_cross: list[list] = []
+        _sup_span = span("support_folds")
+        _sup_span.__enter__()
         for i, (W_a, W_i) in enumerate(
             zip(prev_acc_ins.ins.W_commitments, prev_trace.u.W_commitments)
         ):
@@ -549,8 +676,7 @@ class CyclefoldIVC:
                 f"support delegation #{i} disagrees with the PG fold"
             sup_circuit = SupportCircuit(sup_input, num_bits=f1.num_bits)
             sup_instances = [sup_input.into_instance(pp.f2.modulus)]
-            sup_runner = CircuitRunner(SUPPORT_K, pp.f2, sup_circuit, sup_instances)
-            sup_W = sup_runner.collect_witness()
+            sup_W = self._support_witness(sup_circuit)
             support_trace = run_sps_protocol(
                 pp.S_support, pp.ck2, sup_instances, sup_W, PoseidonHash(default_ro_spec(f1))
             )
@@ -561,12 +687,8 @@ class CyclefoldIVC:
             support_cross.append(sup_cross)
             self.support_pub_instances.append(support_trace.u.instances)
 
-        # --- synthesize the SFC
-        z_next = pp.sc.process_step(self.z_i, pp.k, f1)
-        x1 = cyclefold_marker(
-            f1, pp.digest_coords(), self.step + 1, self.z_0, z_next,
-            pg.AccumulatorInstance.from_acc(new_acc), new_support_acc.U,
-        )
+        _sup_span.__exit__(None, None, None)
+        # --- synthesize the SFC (tape replay on the hot path)
         inputs = CyclefoldStepInputs(
             step=self.step,
             pp_digest=pp.digest_coords(),
@@ -579,16 +701,20 @@ class CyclefoldIVC:
             support_incoming=support_incoming,
             support_cross_commits=support_cross,
         )
-        sfc = CyclefoldSFC(pp.sc, inputs, f1)
-        markers = [prev_trace.u.instances[0][1], x1]
-        instances = sfc.instances(markers)
-        runner = CircuitRunner(pp.k, f1, sfc, instances)
-        W = runner.collect_witness()
-        assert sfc.x1_value == x1, "cyclefold next: on/off-circuit X1 mismatch"
+        x0 = prev_trace.u.instances[0][1]
+        with span("sfc_witness"):
+            W, z_next, x1 = self._sfc_witness(
+                inputs, lambda z: cyclefold_marker(
+                    f1, pp.digest_coords(), self.step + 1, self.z_0, z,
+                    pg.AccumulatorInstance.from_acc(new_acc), new_support_acc.U,
+                ), x0=x0,
+            )
+        instances = [[x0, x1]]
 
-        self.primary_trace = run_sps_protocol(
-            pp.S_primary, pp.ck1, instances, W, PoseidonHash(default_ro_spec(f1))
-        )
+        with span("sps_primary"):
+            self.primary_trace = run_sps_protocol(
+                pp.S_primary, pp.ck1, instances, W, PoseidonHash(default_ro_spec(f1))
+            )
         self.self_acc = new_acc
         self.support_acc = new_support_acc
         self.z_i = z_next
@@ -622,22 +748,25 @@ class CyclefoldIVC:
         )
         if expected_x1 != self.primary_trace.u.instances[0][1] % f1.modulus:
             errors.append("marker X1 mismatch")
-        errors += [f"pg: {e}" for e in pg.ProtoGalaxy.is_sat(pp.ck1, pp.S_primary, self.self_acc)]
-        errors += [
-            f"support: {e}"
-            for e in sg.VanillaFS.is_sat(
-                pp.ck2, pp.S_support, self.support_acc, self.support_pub_instances
-            )
-        ]
+        with span("verify_pg_is_sat"):
+            errors += [f"pg: {e}" for e in pg.ProtoGalaxy.is_sat(pp.ck1, pp.S_primary, self.self_acc)]
+        with span("verify_support_is_sat"):
+            errors += [
+                f"support: {e}"
+                for e in sg.VanillaFS.is_sat(
+                    pp.ck2, pp.S_support, self.support_acc, self.support_pub_instances
+                )
+            ]
         from ..plonk import satisfy
 
-        try:
-            satisfy.is_sat(
-                pp.S_primary, pp.ck1, PoseidonHash(default_ro_spec(f1)),
-                self.primary_trace.u, self.primary_trace.w,
-            )
-        except satisfy.IsSatError as e:
-            errors.append(f"primary trace: {e}")
+        with span("verify_primary_trace"):
+            try:
+                satisfy.is_sat(
+                    pp.S_primary, pp.ck1, PoseidonHash(default_ro_spec(f1)),
+                    self.primary_trace.u, self.primary_trace.w,
+                )
+            except satisfy.IsSatError as e:
+                errors.append(f"primary trace: {e}")
         return errors
 
 

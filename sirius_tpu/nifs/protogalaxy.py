@@ -597,27 +597,32 @@ class ProtoGalaxy:
         delta = ProtoGalaxy._delta(
             pp, ro_acc, AccumulatorInstance.from_acc(accumulator), [t.u for t in incoming], q
         )
-        poly_F = compute_F(ctx, accumulator.betas, delta, accumulator.trace)
+        from ..util.profiling import span
+
+        with span("compute_F"):
+            poly_F = compute_F(ctx, accumulator.betas, delta, accumulator.trace)
         for c in poly_F.coeffs:
             ro_acc.absorb_field(c % q)
         alpha = ro_acc.squeeze(MAX_BITS) % q
 
         b_stroke = betas_stroke_of(accumulator.betas, alpha, delta, q)
-        poly_K = compute_K(ctx, poly_F.eval(alpha), b_stroke, accumulator.trace, incoming)
+        with span("compute_K"):
+            poly_K = compute_K(ctx, poly_F.eval(alpha), b_stroke, accumulator.trace, incoming)
         for c in poly_K.coeffs:
             ro_acc.absorb_field(c % q)
         gamma = ro_acc.squeeze(MAX_BITS) % q
 
         ls = list(lagrange.iter_eval_lagrange_poly_for_cyclic_group(S.spec, gamma, ctx.lagrange_domain))[: L + 1]
 
-        new_acc = Accumulator(
-            trace=PlonkTrace(
-                ProtoGalaxy.fold_instance(accumulator.trace.u, [t.u for t in incoming], ls, q),
-                ProtoGalaxy.fold_witness(S.field, accumulator.trace.w, [t.w for t in incoming], ls),
-            ),
-            betas=b_stroke,
-            e=calculate_e(poly_F, poly_K, gamma, alpha, ctx.lagrange_domain),
-        )
+        with span("fold_trace"):
+            new_acc = Accumulator(
+                trace=PlonkTrace(
+                    ProtoGalaxy.fold_instance(accumulator.trace.u, [t.u for t in incoming], ls, q),
+                    ProtoGalaxy.fold_witness(S.field, accumulator.trace.w, [t.w for t in incoming], ls),
+                ),
+                betas=b_stroke,
+                e=calculate_e(poly_F, poly_K, gamma, alpha, ctx.lagrange_domain),
+            )
         return new_acc, Proof(poly_F, poly_K)
 
     @staticmethod
@@ -688,14 +693,17 @@ class ProtoGalaxy:
 
     @staticmethod
     def is_sat(ck, S: PlonkStructure, acc: Accumulator) -> list:
+        from ..util.profiling import span
+
         errors = []
-        for check in (
-            lambda: ProtoGalaxy.is_sat_accumulation(S, acc),
-            lambda: ProtoGalaxy.is_sat_permutation(S, acc),
-            lambda: ProtoGalaxy.is_sat_witness_commit(ck, acc),
+        for name, check in (
+            ("pg_is_sat_accumulation", lambda: ProtoGalaxy.is_sat_accumulation(S, acc)),
+            ("pg_is_sat_permutation", lambda: ProtoGalaxy.is_sat_permutation(S, acc)),
+            ("pg_is_sat_witness_commit", lambda: ProtoGalaxy.is_sat_witness_commit(ck, acc)),
         ):
             try:
-                check()
+                with span(name):
+                    check()
             except VerifyError as e:
                 errors.append(e)
         return errors

@@ -45,13 +45,26 @@ def _concat_with_padding(f: Field, cols: Sequence[Sequence[int]], n: int) -> jnp
     (len(cols)*n, L) Montgomery device array (reference
     `concatenate_with_padding`).  Under an active mesh the result is placed
     row-sharded so downstream row sweeps inherit the sharding (GSPMD)."""
-    flat: list[int] = []
-    for col in cols:
-        flat.extend(col)
-        flat.extend([0] * (n - len(col)))
-    if not flat:
-        return f.zeros((0,))
-    out = f.encode(flat)
+    from ..frontend.taped import ReplayedWitness
+
+    if isinstance(cols, ReplayedWitness):
+        # tape-replay fast path: columns are already (n, 16) standard-form
+        # limb arrays — one device to_mont instead of a host bignum loop
+        import numpy as np
+
+        if not len(cols):
+            return f.zeros((0,))
+        arr = np.concatenate(cols.cols, axis=0)
+        assert arr.shape[0] == len(cols) * n
+        out = f.to_mont(jnp.asarray(arr))
+    else:
+        flat: list[int] = []
+        for col in cols:
+            flat.extend(col)
+            flat.extend([0] * (n - len(col)))
+        if not flat:
+            return f.zeros((0,))
+        out = f.encode(flat)
     from ..parallel.context import get_mesh
 
     mesh = get_mesh()
