@@ -193,6 +193,7 @@ class StepFoldingCircuit:
         ctx.offset = sc_ctx.offset
 
         # --- step counter + output hash X1 (reference :478-509,645-700)
+        self.z_next_values = [c.value for c in z_next]
         step_next = mg.add_with_const(ctx, step_cell, 1)
         x1 = self._marker_hash(ctx, mg, bn, (pp0, pp1), step_next, z_0, z_next, U_out)
 
@@ -234,6 +235,75 @@ class StepFoldingCircuit:
         """[markers] + the step circuit's own public instance columns
         (reference `step_folding_circuit.rs:645-700` instance layout)."""
         return [list(markers)] + [list(c) for c in self.sc.instances()]
+
+
+# ---------------------------------------------------------------------------
+# Witness-tape packing for StepInputs (same trace/replay scheme as the
+# cyclefold SFC — see frontend/taped.py and ivc/cyclefold_ivc._cf_pack)
+# ---------------------------------------------------------------------------
+
+
+def _sg_pack(inp: StepInputs, P) -> StepInputs:
+    from types import SimpleNamespace
+
+    from ..frontend.taped import _TrPoint, point_leaves
+
+    def pt(g):
+        x, y = point_leaves(g)
+        return _TrPoint(P(x), P(y))
+
+    U = inp.U
+    return StepInputs(
+        step=P(inp.step),
+        pp_digest=(P(inp.pp_digest[0]), P(inp.pp_digest[1])),
+        z_0=[P(v) for v in inp.z_0],
+        z_i=[P(v) for v in inp.z_i],
+        U=SimpleNamespace(
+            W_commitments=[pt(c) for c in U.W_commitments],
+            E_commitment=pt(U.E_commitment),
+            consistency_markers=[P(v) for v in U.consistency_markers],
+            challenges=[P(v) for v in U.challenges],
+            u=P(U.u),
+            sc_instances_hash_acc=(
+                None
+                if U.sc_instances_hash_acc is None
+                else P(U.sc_instances_hash_acc)
+            ),
+        ),
+        u=SimpleNamespace(
+            W_commitments=[pt(c) for c in inp.u.W_commitments],
+            instances=[[P(v) for v in row] for row in inp.u.instances],
+            challenges=[P(v) for v in inp.u.challenges],
+        ),
+        cross_term_commits=[pt(t) for t in inp.cross_term_commits],
+    )
+
+
+def _sg_flatten(inp: StepInputs) -> list[int]:
+    out: list[int] = []
+
+    def P(v):
+        out.append(int(v))
+        return v
+
+    _sg_pack(inp, P)
+    return out
+
+
+def _trace_sfc(k: int, fspec: FieldSpec, sc: StepCircuit, inputs: StepInputs,
+               paired: CurveSpec, instances):
+    """Dry-run an SFC in trace mode: returns (structure, TapedSynthesis)."""
+    from ..frontend.tape import TapeBuilder
+    from ..frontend.taped import TapedSynthesis
+
+    tape = TapeBuilder()
+    wrapped = _sg_pack(inputs, lambda v: tape.input())
+    sfc = StepFoldingCircuit(sc, wrapped, paired, fspec)
+    runner = CircuitRunner(k, fspec, sfc, instances)
+    S = runner.collect_plonk_structure()
+    named = {"x0": sfc.x0_value, "x1": sfc.x1_value}
+    named.update({f"z{i}": v for i, v in enumerate(sfc.z_next_values)})
+    return S, TapedSynthesis(tape, runner._asn, named=named)
 
 
 # ---------------------------------------------------------------------------
@@ -320,11 +390,23 @@ class PublicParams:
             )
             return StepFoldingCircuit(sc, inp, side.paired, fspec)
 
+        from ..frontend.taped import tape_enabled
+
+        self.primary_taped = None
+        self.secondary_taped = None
+        use_tape = tape_enabled()
+
         dry_primary = dry_sfc(self.primary, primary_sc, f1, self.secondary_probe)
-        primary_runner = CircuitRunner(
-            k1, f1, dry_primary, dry_primary.instances([0, 0])
-        )
-        self.primary.S = primary_runner.collect_plonk_structure()
+        if use_tape:
+            self.primary.S, self.primary_taped = _trace_sfc(
+                k1, f1, primary_sc, dry_primary.inp, self.primary.paired,
+                dry_primary.instances([0, 0]),
+            )
+        else:
+            primary_runner = CircuitRunner(
+                k1, f1, dry_primary, dry_primary.instances([0, 0])
+            )
+            self.primary.S = primary_runner.collect_plonk_structure()
 
         # secondary structure + the initial secondary trace (pre-round)
         sec_inp = StepInputs(
@@ -347,12 +429,19 @@ class PublicParams:
                 _initial_relaxed(self.secondary.paired, self.primary_probe),
             ),
         ]
-        sec_runner = CircuitRunner(k2, f2, sec_sfc, sec_sfc.instances(sec_markers))
-        self.secondary.S = sec_runner.collect_plonk_structure()
-
         from ..plonk.sps import run_sps_protocol
 
-        sec_witness = sec_runner.collect_witness()
+        if use_tape:
+            self.secondary.S, self.secondary_taped = _trace_sfc(
+                k2, f2, secondary_sc, sec_inp, self.secondary.paired,
+                sec_sfc.instances(sec_markers),
+            )
+            sec_witness, sec_named = self.secondary_taped.replay(_sg_flatten(sec_inp))
+            assert sec_named["x1"] == sec_markers[1], "pp: secondary X1 mismatch"
+        else:
+            sec_runner = CircuitRunner(k2, f2, sec_sfc, sec_sfc.instances(sec_markers))
+            self.secondary.S = sec_runner.collect_plonk_structure()
+            sec_witness = sec_runner.collect_witness()
         self.secondary_initial_plonk_trace = run_sps_protocol(
             self.secondary.S, ck2, sec_sfc.instances(sec_markers), sec_witness,
             PoseidonHash(default_ro_spec(f1)),
@@ -430,8 +519,10 @@ class IVC:
             pp.primary.paired, f1,
         )
         primary_instances = primary_sfc.instances(primary_markers)
-        primary_runner = CircuitRunner(pp.primary.k, f1, primary_sfc, primary_instances)
-        primary_witness = primary_runner.collect_witness()
+        primary_witness = self._witness(
+            pp.primary, pp.primary_taped, primary_sfc, f1,
+            primary_instances, primary_markers[1],
+        )
 
         from ..plonk.sps import run_sps_protocol
 
@@ -464,8 +555,10 @@ class IVC:
             pp.secondary.paired, f2,
         )
         secondary_instances = secondary_sfc.instances(secondary_markers)
-        secondary_runner = CircuitRunner(pp.secondary.k, f2, secondary_sfc, secondary_instances)
-        secondary_witness = secondary_runner.collect_witness()
+        secondary_witness = self._witness(
+            pp.secondary, pp.secondary_taped, secondary_sfc, f2,
+            secondary_instances, secondary_markers[1],
+        )
         secondary_trace = run_sps_protocol(
             pp.secondary.S, pp.secondary.ck, secondary_instances, secondary_witness,
             PoseidonHash(default_ro_spec(f1)),
@@ -480,6 +573,19 @@ class IVC:
         # sc-instance hash replay in is_sat covers the whole chain
         self.primary_pub_instances: list = [primary_trace.u.instances]
         self.secondary_pub_instances: list = [sec_pre_trace.u.instances]
+
+    def _witness(self, side: SideParams, taped, sfc: StepFoldingCircuit,
+                 fspec: FieldSpec, instances, expect_x1: int):
+        """SFC advice witness: tape replay (default) or direct synthesis,
+        with the on-/off-circuit X1 cross-checked either way."""
+        if taped is not None:
+            W, named = taped.replay(_sg_flatten(sfc.inp))
+            assert named["x1"] == expect_x1 % fspec.modulus, "on/off-circuit X1 mismatch"
+            return W
+        runner = CircuitRunner(side.k, fspec, sfc, instances)
+        W = runner.collect_witness()
+        assert sfc.x1_value == expect_x1 % fspec.modulus, "on/off-circuit X1 mismatch"
+        return W
 
     def fold_step(self):
         """One IVC step (reference `fold_step`)."""
@@ -511,9 +617,10 @@ class IVC:
             pp.primary.paired, f1,
         )
         primary_instances = primary_sfc.instances(primary_markers)
-        runner = CircuitRunner(pp.primary.k, f1, primary_sfc, primary_instances)
-        primary_witness = runner.collect_witness()
-        assert primary_sfc.x1_value == primary_markers[1], "on/off-circuit X1 mismatch (primary)"
+        primary_witness = self._witness(
+            pp.primary, pp.primary_taped, primary_sfc, f1,
+            primary_instances, primary_markers[1],
+        )
 
         self.primary_z_i = primary_z_next
         self.secondary_relaxed = sec_new_trace
@@ -546,9 +653,10 @@ class IVC:
             pp.secondary.paired, f2,
         )
         secondary_instances = secondary_sfc.instances(secondary_markers)
-        sec_runner = CircuitRunner(pp.secondary.k, f2, secondary_sfc, secondary_instances)
-        secondary_witness = sec_runner.collect_witness()
-        assert secondary_sfc.x1_value == secondary_markers[1], "on/off-circuit X1 mismatch (secondary)"
+        secondary_witness = self._witness(
+            pp.secondary, pp.secondary_taped, secondary_sfc, f2,
+            secondary_instances, secondary_markers[1],
+        )
 
         self.secondary_z_i = secondary_z_next
         self.primary_relaxed = pri_new_trace

@@ -231,15 +231,45 @@ def _make_eval_dom(S, sel, fixed, challenges, W1s) -> PlonkEvalDomain:
     return dom
 
 
-def _tree_batched_lf(flf, v: jnp.ndarray, weights: jnp.ndarray, h0: int) -> jnp.ndarray:
-    """Weighted halving tree over the LAST axis, limb-first.
+def _pow_coeffs_lf(flf, w_lf: jnp.ndarray, h0: int, levels: int) -> jnp.ndarray:
+    """coeff[i] = prod_h w[h0+h]^bit_h(i) for i < 2^levels, by doubling:
+    coeff_{h+1} = [coeff_h | coeff_h * w_h].  w_lf: (L, t, m) -> (L, t, 2^levels).
 
-    v: (L, t, 2^j); weights: (L, t, m) with level h's weight at
-    weights[:, :, h0+h].  Returns (L, t)."""
-    m = v.shape[-1].bit_length() - 1
-    for h in range(m):
-        v = flf.add(v[:, :, 0::2], flf.mul(weights[:, :, h0 + h][:, :, None], v[:, :, 1::2]))
-    return v[:, :, 0]
+    Contiguous concatenations only — on TPU this replaces the naive
+    even/odd halving tree, whose stride-2 lane slicing costs ~25x the
+    whole gate sweep (measured: 1.8 s tree vs 68 ms sweep at k=17)."""
+    t = w_lf.shape[1]
+    coeff = flf.ones((t, 1))
+    for h in range(levels):
+        wh = w_lf[:, :, h0 + h][:, :, None]
+        coeff = jnp.concatenate([coeff, flf.mul(coeff, wh)], axis=-1)
+    return coeff
+
+
+def _pow_weighted_reduce_lf(flf, vals: jnp.ndarray, w_lf: jnp.ndarray) -> jnp.ndarray:
+    """sum_i pow_i(w) * vals[i] for t weight vectors at once (the weighted
+    binary-tree reduction of reference `poly/mod.rs`, evaluated as one
+    coefficient-product + contiguous log-depth sum).
+
+    vals: (L, N) leaves, N = 2^m; w_lf: (L, t, m).  Returns (L, t).
+    Chunked so peak coefficient memory stays ~t * _TREE_CHUNK elements."""
+    Lw, N = vals.shape
+    m = max(N.bit_length() - 1, 0)
+    C = min(_TREE_CHUNK, N)
+    lc = max(C.bit_length() - 1, 0)
+    if N <= C:
+        coeff = _pow_coeffs_lf(flf, w_lf, 0, m)
+        return flf.sum_reduce(flf.mul(vals[:, None], coeff), axis=1)
+    coeff_lo = _pow_coeffs_lf(flf, w_lf, 0, lc)       # (L, t, C)
+    coeff_hi = _pow_coeffs_lf(flf, w_lf, lc, m - lc)  # (L, t, N/C)
+    chunks = jnp.moveaxis(vals.reshape(Lw, N // C, C), 1, 0)  # (N/C, L, C)
+
+    def body(carry, chunk):
+        return carry, flf.sum_reduce(flf.mul(chunk[:, None], coeff_lo), axis=1)
+
+    _, tops = jax.lax.scan(body, 0, chunks)  # (N/C, L, t)
+    v = jnp.moveaxis(tops, 0, 2)  # (L, t, N/C)
+    return flf.sum_reduce(flf.mul(v, coeff_hi), axis=1)
 
 
 def _points_tree_fn(S: PlonkStructure, t: int):
@@ -252,28 +282,12 @@ def _points_tree_fn(S: PlonkStructure, t: int):
         from ..fields.jfield_lf import from_lf, lf_for
 
         flf = lf_for(S.field)
-        N = count_of_evaluation_with_padding(S)
-        m = max(N.bit_length() - 1, 0)
-        C = min(_TREE_CHUNK, N)
-        lc = max(C.bit_length() - 1, 0)
-        Lw = flf.zeros(()).shape[0]
 
         def run(sel, fixed, challenges, W1s, weights):
             dom = _make_eval_dom(S, sel, fixed, challenges, W1s)
             vals = _leaves_traced_lf(dom, S)  # (L, N)
             w_lf = jnp.moveaxis(weights, -1, 0)  # (L, t, m)
-            if N > C:
-                chunks = jnp.moveaxis(vals.reshape(Lw, N // C, C), 1, 0)  # (N/C, L, C)
-
-                def body(carry, chunk):
-                    v = jnp.broadcast_to(chunk[:, None], (Lw, t, C))
-                    return carry, _tree_batched_lf(flf, v, w_lf, 0)
-
-                _, tops = jax.lax.scan(body, 0, chunks)  # (N/C, L, t)
-                v = jnp.moveaxis(tops, 0, 2)  # (L, t, N/C)
-                return from_lf(_tree_batched_lf(flf, v, w_lf, lc))
-            v = jnp.broadcast_to(vals[:, None], (Lw, t, N))
-            return from_lf(_tree_batched_lf(flf, v, w_lf, 0))
+            return from_lf(_pow_weighted_reduce_lf(flf, vals, w_lf))
 
         fn = jax.jit(run)
         _PG_COMPILED[key] = fn
@@ -302,8 +316,8 @@ def _g_points_fn(S: PlonkStructure, J1: int, nch: int):
             challenges = [chs[i] for i in range(nch)]
             dom = _make_eval_dom(S, sel, fixed, challenges, [])
             dom._lf_W1s = W_folded_lf
-            vals = _leaves_traced_lf(dom, S)[:, None]  # (L, 1, N)
-            return from_lf(_tree_batched_lf(flf, vals, w_lf[:, None], 0)[:, 0])
+            vals = _leaves_traced_lf(dom, S)  # (L, N)
+            return from_lf(_pow_weighted_reduce_lf(flf, vals, w_lf[:, None])[:, 0])
 
         def run(sel, fixed, ls_all, ch_all, W_stacked, weights):
             # ls_all: (t, J1, L); ch_all: (t, nch, L); weights: (m, L)
@@ -335,8 +349,8 @@ def evaluate_e_from_trace(S: PlonkStructure, trace: PlonkTrace, betas: Sequence[
     weights = _weights_device(f, [list(betas)])
     challenges = [f.encode([c % f.p])[0] for c in trace.u.challenges]
     pts = _points_tree_fn(S, 1)(
-        jnp.asarray(S.selectors_device),
-        jnp.asarray(S.fixed_device),
+        S.selectors_jax,
+        S.fixed_jax,
         challenges,
         list(trace.w.W),
         weights,
@@ -375,8 +389,8 @@ def compute_F(ctx: PolyContext, betas: Sequence[int], delta: int, trace: PlonkTr
     ]
     challenges = [f.encode([c % p])[0] for c in trace.u.challenges]
     pts = _points_tree_fn(S, t)(
-        jnp.asarray(S.selectors_device),
-        jnp.asarray(S.fixed_device),
+        S.selectors_jax,
+        S.fixed_jax,
         challenges,
         list(trace.w.W),
         _weights_device(f, weight_ints),
@@ -436,8 +450,8 @@ def compute_G(
         jnp.stack([t.w.W[rnd] for t in all_traces])
         for rnd in range(len(accumulator.w.W))
     ]
-    sel = jnp.asarray(S.selectors_device)
-    fixed = jnp.asarray(S.fixed_device)
+    sel = S.selectors_jax
+    fixed = S.fixed_jax
 
     ls_rows, ch_rows = [], []
     for X in lagrange.iter_cyclic_subgroup(spec, ctx.fft_points_count_G.bit_length() - 1):

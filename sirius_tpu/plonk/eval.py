@@ -165,8 +165,8 @@ class PlonkEvalDomain:
             fn = jax.jit(run)
             _COMPILED_CACHE[key] = fn
         return fn(
-            jnp.asarray(self.S.selectors_device),
-            jnp.asarray(self.S.fixed_device),
+            self.S.selectors_jax,
+            self.S.fixed_jax,
             list(self.challenges),
             list(self.W1s),
             list(self.W2s),

@@ -99,6 +99,23 @@ class PlonkStructure:
         return field_for(self.spec)
 
     @cached_property
+    def selectors_jax(self):
+        """Device-RESIDENT selectors (uploaded once).  Passing the numpy
+        `selectors_device` into a jitted call re-transfers ~100 MB per call
+        through the TPU tunnel — measured as the dominant cost of every
+        warm gate sweep (~2 s at k=17)."""
+        import jax
+
+        return jax.device_put(self.selectors_device)
+
+    @cached_property
+    def fixed_jax(self):
+        """Device-resident fixed columns (see selectors_jax)."""
+        import jax
+
+        return jax.device_put(self.fixed_device)
+
+    @cached_property
     def selectors_device(self) -> np.ndarray:
         """(num_selectors, n, L) Montgomery 0/1 arrays.  Kept as numpy so the
         cache never captures a tracer; jit traces embed them as constants."""
