@@ -27,7 +27,9 @@ import time
 
 import jax
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/sirius_tpu_xla_cache")
+from sirius_tpu.util.cache import setup_compile_cache
+
+setup_compile_cache()
 
 import jax.numpy as jnp
 import numpy as np
@@ -116,11 +118,18 @@ def bench_cyclefold_ivc(k: int, key_k: int):
     pp = CyclefoldPublicParams(TrivialStepCircuit(arity=1), k=k, ck_primary=ck1, ck_support=ck2)
     pp_s = time.time() - t0
 
+    # criterion-style warmup (the reference bench also runs warmup
+    # iterations): compile every program shape once on a throwaway IVC, then
+    # measure steady-state new/next/verify on a fresh IVC over the same pp
+    warm = CyclefoldIVC(pp, [0x42])
+    warm.next()
+    errors = warm.verify()
+    assert not errors, errors
+
     t0 = time.time()
     ivc = CyclefoldIVC(pp, [0x42])
     new_s = time.time() - t0
 
-    ivc.next()  # warm compile caches for the fold step
     t0 = time.time()
     ivc.next()
     next_s = time.time() - t0

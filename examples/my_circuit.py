@@ -46,7 +46,7 @@ def main():
     import jax
 
     jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_compilation_cache_dir", "/tmp/sirius_tpu_xla_cache")
+    __import__("sirius_tpu.util.cache", fromlist=["setup_compile_cache"]).setup_compile_cache()
 
     from sirius_tpu.curves.jpoint import BN256_G1, GRUMPKIN
     from sirius_tpu.ivc.sangria_ivc import IVC, PublicParams

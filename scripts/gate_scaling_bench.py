@@ -36,7 +36,7 @@ def main():
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_compilation_cache_dir", "/tmp/sirius_tpu_xla_cache")
+    __import__("sirius_tpu.util.cache", fromlist=["setup_compile_cache"]).setup_compile_cache()
 
     from sirius_tpu.curves.jpoint import BN256_G1, GRUMPKIN
     from sirius_tpu.fields.constants import bn256_fr

@@ -14,7 +14,7 @@ sys.path.insert(0, "/root/repo")
 
 import jax
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/sirius_tpu_xla_cache")
+__import__("sirius_tpu.util.cache", fromlist=["setup_compile_cache"]).setup_compile_cache()
 
 import jax.numpy as jnp
 import numpy as np

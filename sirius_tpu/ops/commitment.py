@@ -12,8 +12,11 @@ import hashlib
 import os
 from dataclasses import dataclass
 
+import jax
 import jax.numpy as jnp
 import numpy as np
+
+_RLC_COMPILED: dict = {}
 
 from ..curves import jpoint
 from ..curves.hash_to_curve import hash_bytes_to_point
@@ -117,6 +120,76 @@ class CommitmentKey:
             return msm_ops.best_msm(self.curve, scalars, pts, assume_distinct=True)
         res = msm_ops.msm_jitted(self.curve, scalars, pts, window_bits=window_bits)
         return self.curve.decode(Points(*(c[None] for c in res)))[0]
+
+    def commit_device_many(self, w_monts: jnp.ndarray) -> list:
+        """Commit to a (t, size, L) batch of Montgomery device arrays with
+        ONE device program + ONE transfer (shared key points)."""
+        scalars = self.curve.fs.from_mont(w_monts)
+        t, n = scalars.shape[:2]
+        if n > len(self):
+            raise TooLongInput(n, len(self))
+        pts = Points(self.points.x[:n], self.points.y[:n], self.points.z[:n])
+        return msm_ops.msm_many(self.curve, scalars, pts, assume_distinct=True)
+
+    def batched_commit_check(self, pairs) -> list[int]:
+        """Probabilistic batch verification of commitment openings.
+
+        pairs = [(W_dev (size, L) Montgomery, C gold.AffinePoint), ...].
+        Checks commit(W_i) == C_i for ALL i with ONE MSM: draw Fiat-Shamir
+        rho_i from a Poseidon transcript over the claimed commitments, verify
+        commit(sum_i rho_i W_i) == sum_i rho_i C_i.  Sound up to 2^-128 per
+        the standard random-linear-combination argument (the reference
+        re-commits each witness separately, `plonk/mod.rs:336-344` — the RLC
+        check is ~k-fold cheaper for k openings and is the verifier's own
+        coin, so no protocol change).  Returns failing indices ([] = all
+        pass); on mismatch falls back to per-pair checks to localize."""
+        from ..fields.jfield import field_for
+        from ..ops.poseidon import PoseidonHash, poseidon_spec
+        from ..util.ro import NUM_CHALLENGE_BITS
+
+        pairs = list(pairs)
+        if not pairs:
+            return []
+        if len(pairs) == 1:
+            W, C = pairs[0]
+            return [] if self.commit_device(W) == C else [0]
+        fs = field_for(self.curve.fs.spec)
+        ro = PoseidonHash(poseidon_spec(self.curve.spec.scalar, 3, 2, 4, 3))
+        for _, C in pairs:
+            x, y = (0, 0) if C.is_identity else (C.x, C.y)
+            ro.absorb_field(x % fs.p)
+            ro.absorb_field(y % fs.p)
+        rhos = []
+        for _ in pairs:
+            rhos.append(ro.squeeze(NUM_CHALLENGE_BITS) % fs.p)
+
+        sizes = tuple(int(W.shape[0]) for W, _ in pairs)
+        max_n = max(sizes)
+        key = ("rlc", fs.spec.name, sizes)
+        fn = _RLC_COMPILED.get(key)
+        if fn is None:
+
+            def run(ws, rho_dev):
+                acc = None
+                for i, w in enumerate(ws):
+                    term = fs.mul(w, rho_dev[i])
+                    if w.shape[0] < max_n:
+                        term = jnp.concatenate(
+                            [term, fs.zeros((max_n - w.shape[0],))]
+                        )
+                    acc = term if acc is None else fs.add(acc, term)
+                return acc
+
+            fn = jax.jit(run)
+            _RLC_COMPILED[key] = fn
+        rho_dev = fs.encode(rhos)
+        combined = fn([W for W, _ in pairs], rho_dev)
+        expected = gold.identity(self.curve.spec)
+        for rho, (_, C) in zip(rhos, pairs):
+            expected = expected.add(C.mul(rho))
+        if self.commit_device(combined) == expected:
+            return []
+        return [i for i, (W, C) in enumerate(pairs) if self.commit_device(W) != C]
 
     def commit(self, v_ints: list[int] | jnp.ndarray, window_bits: int | None = None) -> gold.AffinePoint:
         """Commit to a scalar vector (host ints or (n,16) standard-form limb

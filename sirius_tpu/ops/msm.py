@@ -603,6 +603,50 @@ def msm_bucket_fused(curve: Curve, scalars_std: jnp.ndarray, points: Points,
     return gold.AffinePoint(curve.spec, x * zi * zi % p, y * zi * zi * zi % p)
 
 
+@lru_cache(maxsize=None)
+def _msm_bucket_fused_many_jit(curve: Curve, c: int, G: int, use_pallas: bool, mixed: bool):
+    fn = partial(_msm_bucket_fused, curve, c, G, use_pallas, mixed)
+    return jax.jit(jax.vmap(fn, in_axes=(0, None)))
+
+
+def msm_many(curve: Curve, scalars_std_batch: jnp.ndarray, points: Points,
+             window_bits: int = 4, group_count: int = 256,
+             assume_distinct: bool = False) -> list:
+    """Batch of MSMs over SHARED points: ONE device program + ONE transfer
+    for all t results (vs t dispatch+decode round trips — each round trip
+    through the TPU tunnel costs ~30 ms, which dominated the sangria
+    cross-term commits).  Returns a list of host gold.AffinePoints."""
+    from ..fields import gold
+    from ..fields.limb import limbs_to_ints
+
+    t, n = scalars_std_batch.shape[:2]
+    if t == 0:
+        return []
+    if points.x.shape[0] > n:
+        points = Points(points.x[:n], points.y[:n], points.z[:n])
+    if n < 4096 or n % group_count:
+        return [
+            best_msm(curve, scalars_std_batch[i], points, assume_distinct)
+            for i in range(t)
+        ]
+    use_pallas = assume_distinct and jax.default_backend() == "tpu"
+    out = _msm_bucket_fused_many_jit(
+        curve, window_bits, group_count, use_pallas,
+        assume_distinct and window_bits <= 6,
+    )(scalars_std_batch, points)  # (t, 3, L)
+    flat = limbs_to_ints(np.asarray(out))
+    p = curve.fb.p
+    res = []
+    for i in range(t):
+        x, y, z = flat[3 * i : 3 * i + 3]
+        if z % p == 0:
+            res.append(gold.identity(curve.spec))
+            continue
+        zi = gold.inv_mod(z % p, p)
+        res.append(gold.AffinePoint(curve.spec, x * zi * zi % p, y * zi * zi * zi % p))
+    return res
+
+
 def best_msm(curve: Curve, scalars_std: jnp.ndarray, points: Points,
              assume_distinct: bool = False):
     """Dispatch to the fastest device kernel for this size; returns a host

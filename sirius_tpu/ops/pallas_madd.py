@@ -133,22 +133,22 @@ def _madd_core(f: _F, X, Y, Z, QX, QY):
     return x3, y3, z3
 
 
-def _madd_kernel(f: _F, x_ref, y_ref, z_ref, qx_ref, qy_ref, ox_ref, oy_ref, oz_ref):
-    X = [x_ref[i] for i in range(L)]
-    Y = [y_ref[i] for i in range(L)]
-    Z = [z_ref[i] for i in range(L)]
-    QX = [qx_ref[i] for i in range(L)]
-    QY = [qy_ref[i] for i in range(L)]
-    x3, y3, z3 = _madd_core(f, X, Y, Z, QX, QY)
-    for i in range(L):
-        ox_ref[i] = x3[i]
-        oy_ref[i] = y3[i]
-        oz_ref[i] = z3[i]
+def _madd_kernel(f, x_ref, y_ref, z_ref, qx_ref, qy_ref, ox_ref, oy_ref, oz_ref):
+    from .limb_kernels import k_madd_incomplete
+
+    x3, y3, z3 = k_madd_incomplete(
+        f, x_ref[:], y_ref[:], z_ref[:], qx_ref[:], qy_ref[:]
+    )
+    ox_ref[:] = x3
+    oy_ref[:] = y3
+    oz_ref[:] = z3
 
 
 @lru_cache(maxsize=None)
 def _madd_call(curve: Curve, S: int, interpret: bool = False):
-    f = _F(curve.fb)
+    from .limb_kernels import KF
+
+    f = KF(curve.fb)
     blk = min(SUB_BLK, S)
     grid = (S // blk,)
     spec = pl.BlockSpec((L, blk, LANE), lambda s: (0, s, 0), memory_space=pltpu.VMEM)

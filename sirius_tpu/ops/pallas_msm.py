@@ -40,7 +40,6 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..curves.jpoint import Curve, Points
 from ..fields.constants import LIMB_BITS, NUM_LIMBS
-from .pallas_madd import _F, _madd_core
 from .msm import _extract_digits_signed, _roll_fill
 
 L = NUM_LIMBS
@@ -48,7 +47,7 @@ LANE = 128
 SUBL = 8  # windows per grid cell (sublane axis)
 
 
-def _msm_table_kernel(f: _F, B: int, TS: int, n_steps: int,
+def _msm_table_kernel(f, B: int, TS: int, n_steps: int,
                       digits_ref, px_ref, py_ref,
                       ox_ref, oy_ref, oz_ref,
                       tx, ty, tz):
@@ -56,7 +55,10 @@ def _msm_table_kernel(f: _F, B: int, TS: int, n_steps: int,
     into the VMEM bucket table.  All dynamic indexing (the step counter) is
     on LEADING (untiled) dims — dynamic sublane slicing measurably wrecks
     Mosaic codegen (the first layout, windows on sublanes, ran 7x below the
-    madd roofline because every operand load was a dynamic sublane gather)."""
+    madd roofline because every operand load was a dynamic sublane gather).
+    Array-limb form (ops/limb_kernels.py): values are (L, ...) arrays."""
+    from .limb_kernels import k_madd_incomplete
+
     ts_idx = pl.program_id(1)
 
     @pl.when(ts_idx == 0)
@@ -64,8 +66,7 @@ def _msm_table_kernel(f: _F, B: int, TS: int, n_steps: int,
         zero = jnp.zeros((L, B, SUBL, LANE), jnp.uint32)
         tx[...] = zero
         tz[...] = zero
-        one = jnp.stack([jnp.full((B, SUBL, LANE), f.one_mont[l], jnp.uint32) for l in range(L)])
-        ty[...] = one
+        ty[...] = f.one_arr((B, SUBL, LANE))
 
     iota_b = jax.lax.broadcasted_iota(jnp.uint32, (B, SUBL, LANE), 0) + 1
 
@@ -75,38 +76,30 @@ def _msm_table_kernel(f: _F, B: int, TS: int, n_steps: int,
         mag = v & jnp.uint32(0x7FFFFFFF)
         oh = mag[None] == iota_b  # (B, 8, 128)
 
-        # per limb: ONE contiguous (B, 8, 128) table-row load, select-chain
-        # gather in registers (exactly one bucket matches; dead digits match
-        # none, fall back to row 0, and are discarded by the write mask),
-        # then ONE contiguous store of the masked update.  Limb-major table
-        # layout keeps every access contiguous — the strided (B-stride-L)
-        # variant ran 3x slower, and Mosaic has no uint reductions so the
-        # chain replaces a masked sum.
+        # contiguous (L, B, 8, 128) table loads; select-chain gather over the
+        # bucket axis in registers (exactly one bucket matches; dead digits
+        # match none, fall back to row 0, discarded by the write mask).
+        # Limb-major layout keeps every access contiguous, and Mosaic has no
+        # uint reductions so the chain replaces a masked sum.
         def gather(tref):
-            rows, out = [], []
-            for l in range(L):
-                tl = tref[l]  # (B, 8, 128)
-                acc = tl[0]
-                for b in range(1, B):
-                    acc = jnp.where(oh[b], tl[b], acc)
-                rows.append(tl)
-                out.append(acc)
-            return rows, out
+            rows = tref[:]  # (L, B, 8, 128)
+            acc = rows[:, 0]
+            for b in range(1, B):
+                acc = jnp.where(oh[b][None], rows[:, b], acc)
+            return rows, acc
 
         (rx, X), (ry, Y), (rz, Z) = gather(tx), gather(ty), gather(tz)
 
-        qx = [px_ref[l, t] for l in range(L)]
-        qy_pos = [py_ref[l, t] for l in range(L)]
-        qy_neg = f.sub([jnp.zeros((SUBL, LANE), jnp.uint32)] * L, qy_pos)
-        is_neg = neg > 0
-        qy = [jnp.where(is_neg, a, b) for a, b in zip(qy_neg, qy_pos)]
+        qx = px_ref[:, t]  # (L, 8, 128)
+        qy_pos = py_ref[:, t]
+        qy_neg = f.sub(jnp.zeros_like(qy_pos), qy_pos)
+        qy = jnp.where((neg > 0)[None], qy_neg, qy_pos)
 
-        x3, y3, z3 = _madd_core(f, X, Y, Z, qx, qy)
+        x3, y3, z3 = k_madd_incomplete(f, X, Y, Z, qx, qy)
 
-        for l in range(L):
-            tx[l] = jnp.where(oh, x3[l][None], rx[l])
-            ty[l] = jnp.where(oh, y3[l][None], ry[l])
-            tz[l] = jnp.where(oh, z3[l][None], rz[l])
+        tx[:] = jnp.where(oh[None], x3[:, None], rx)
+        ty[:] = jnp.where(oh[None], y3[:, None], ry)
+        tz[:] = jnp.where(oh[None], z3[:, None], rz)
         return 0
 
     jax.lax.fori_loop(0, TS, body, 0)
@@ -132,116 +125,11 @@ GROUPS = SUBL * LANE  # 1024 parallel accumulation lanes per window
 # ---------------------------------------------------------------------------
 
 
-def _lf_is_zero(a):
-    nz = a[0] == 0
-    for x in a[1:]:
-        nz = nz & (x == 0)
-    return nz
-
-
-def _lf_select(cond, a, b):
-    return [jnp.where(cond, x, y) for x, y in zip(a, b)]
-
-
-def _lf_identity(f: _F, shape):
-    zero = jnp.zeros(shape, jnp.uint32)
-    return (
-        [zero] * L,
-        [jnp.full(shape, f.one_mont[l], jnp.uint32) for l in range(L)],
-        [zero] * L,
-    )
-
-
-def _lf_eq(a, b):
-    e = a[0] == b[0]
-    for x, y in zip(a[1:], b[1:]):
-        e = e & (x == y)
-    return e
-
-
-def _lf_dbl(f: _F, X, Y, Z):
-    """Jacobian doubling, a=0 (dbl-2009-l); identity-safe (z3 = 2*y*z)."""
-    A = f.square(X)
-    Bq = f.square(Y)
-    C = f.square(Bq)
-    T = f.square(f.add(X, Bq))
-    D = f.double(f.sub(f.sub(T, A), C))
-    E = f.add(f.double(A), A)
-    Fv = f.square(E)
-    x3 = f.sub(Fv, f.double(D))
-    y3 = f.sub(f.mul(E, f.sub(D, x3)), f.double(f.double(f.double(C))))
-    z3 = f.double(f.mul(Y, Z))
-    return x3, y3, z3
-
-
-def _complete_add_kernel(f: _F, x1, y1, z1, x2, y2, z2, ox, oy, oz):
-    P = ([x1[i] for i in range(L)], [y1[i] for i in range(L)], [z1[i] for i in range(L)])
-    Q = ([x2[i] for i in range(L)], [y2[i] for i in range(L)], [z2[i] for i in range(L)])
-    X3, Y3, Z3 = _lf_add(f, P, Q)
-    for i in range(L):
-        ox[i] = X3[i]
-        oy[i] = Y3[i]
-        oz[i] = Z3[i]
-
-
-@lru_cache(maxsize=None)
-def _complete_add_call(curve: Curve, S: int):
-    """Pallas complete Jacobian add over (L, S, 128) limb-first arrays."""
-    f = _F(curve.fb)
-    blk = min(8, S)
-    spec = pl.BlockSpec((L, blk, LANE), lambda s: (0, s, 0), memory_space=pltpu.VMEM)
-    shape = jax.ShapeDtypeStruct((L, S, LANE), jnp.uint32)
-    return pl.pallas_call(
-        partial(_complete_add_kernel, f),
-        grid=(S // blk,),
-        in_specs=[spec] * 6,
-        out_specs=[spec] * 3,
-        out_shape=[shape] * 3,
-    )
-
-
-def _lf_add(f: _F, P, Q):
-    """Complete Jacobian addition (mirror of `Curve.add`) on limb-first
-    lists; handles identities, doubling and inverse pairs by select."""
-    X1, Y1, Z1 = P
-    X2, Y2, Z2 = Q
-    z1z1 = f.square(Z1)
-    z2z2 = f.square(Z2)
-    u1 = f.mul(X1, z2z2)
-    u2 = f.mul(X2, z1z1)
-    s1 = f.mul(f.mul(Y1, Z2), z2z2)
-    s2 = f.mul(f.mul(Y2, Z1), z1z1)
-    h = f.sub(u2, u1)
-    r = f.sub(s2, s1)
-    hh = f.square(h)
-    r2 = f.square(r)
-    hhh = f.mul(h, hh)
-    v = f.mul(u1, hh)
-    x3 = f.sub(f.sub(r2, hhh), f.double(v))
-    y3 = f.sub(f.mul(r, f.sub(v, x3)), f.mul(s1, hhh))
-    z3 = f.mul(f.mul(Z1, Z2), h)
-    general = (x3, y3, z3)
-
-    p_inf = _lf_is_zero(Z1)
-    q_inf = _lf_is_zero(Z2)
-    h_zero = _lf_is_zero(h)
-    r_zero = _lf_is_zero(r)
-    dbl_case = h_zero & r_zero & ~p_inf & ~q_inf
-    inf_case = h_zero & ~r_zero & ~p_inf & ~q_inf
-
-    out = general
-    dblP = _lf_dbl(f, X1, Y1, Z1)
-    out = tuple(_lf_select(dbl_case, a, b) for a, b in zip(dblP, out))
-    ident = _lf_identity(f, out[0][0].shape)
-    out = tuple(_lf_select(inf_case, a, b) for a, b in zip(ident, out))
-    out = tuple(_lf_select(q_inf, a, b) for a, b in zip(P, out))
-    out = tuple(_lf_select(p_inf, a, b) for a, b in zip(Q, out))
-    return out
-
-
 @lru_cache(maxsize=None)
 def _table_call(curve: Curve, B: int, W: int, g: int, TS: int, interpret: bool = False):
-    f = _F(curve.fb)
+    from .limb_kernels import KF
+
+    f = KF(curve.fb)
     n_steps = g // TS
     grid = (W, n_steps)
     kern = partial(_msm_table_kernel, f, B, TS, n_steps)
@@ -268,6 +156,62 @@ def _table_call(curve: Curve, B: int, W: int, g: int, TS: int, interpret: bool =
     )
 
 
+def _merge_kernel(f, x_ref, y_ref, z_ref, ox, oy, oz):
+    """Full 1024 -> 1 group-merge in VMEM.  Big levels (1024 -> 32) unrolled
+    with proper halving (~97% of the adds, shapes must shrink); the 32 -> 1
+    tail is ONE traced add in a fixed-shape fori_loop with sublane rolls
+    (upper rows become garbage that row 0 never reads) — 5 tiny levels for
+    the trace cost of one."""
+    from .limb_kernels import k_add_complete
+
+    cur = (x_ref[:], y_ref[:], z_ref[:])  # (L, 1024, 128) each
+    n_grp = GROUPS
+    TAIL = 32
+    while n_grp > TAIL:
+        h = n_grp // 2
+        lo = tuple(a[:, :h] for a in cur)
+        hi = tuple(a[:, h:n_grp] for a in cur)
+        cur = tuple(k_add_complete(f, lo, hi))
+        n_grp = h
+
+    def tail_body(i, carry):
+        shift = jnp.int32(TAIL) >> (i + 1)
+        rolled = tuple(
+            pltpu.roll(a, -shift, axis=1) if hasattr(pltpu, "roll")
+            else jnp.roll(a, -shift, axis=1)
+            for a in carry
+        )
+        return tuple(k_add_complete(f, carry, rolled))
+
+    cur = jax.lax.fori_loop(0, TAIL.bit_length() - 1, tail_body, cur)
+    ox[:] = cur[0][:, :1]
+    oy[:] = cur[1][:, :1]
+    oz[:] = cur[2][:, :1]
+
+
+@lru_cache(maxsize=None)
+def _merge_call(curve: Curve, WB: int, interpret: bool = False):
+    """One-kernel group merge: (L, 1024, WB) x3 -> (L, 1, WB) x3, grid over
+    128-lane blocks (25 MB of operand VMEM per cell)."""
+    from .limb_kernels import KF
+
+    f = KF(curve.fb)
+    in_spec = pl.BlockSpec((L, GROUPS, LANE), lambda i: (0, 0, i), memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((L, 1, LANE), lambda i: (0, 0, i), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        partial(_merge_kernel, f),
+        grid=(WB // LANE,),
+        in_specs=[in_spec] * 3,
+        out_specs=[out_spec] * 3,
+        out_shape=[jax.ShapeDtypeStruct((L, 1, WB), jnp.uint32)] * 3,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )
+
+
 def _msm_fused_vmem(curve: Curve, c: int, W_real: int, g: int, TS: int,
                     interpret: bool,
                     scalars_std: jnp.ndarray, px: jnp.ndarray, py: jnp.ndarray):
@@ -287,41 +231,39 @@ def _msm_fused_vmem(curve: Curve, c: int, W_real: int, g: int, TS: int,
 
     otx, oty, otz = _table_call(curve, B, W_real, g, TS, interpret)(digits, pxl, pyl)
 
-    # --- group-merge tree, heavy levels (1024 -> 8 groups) in the Pallas
-    # complete-add kernel over limb-first tiles.  The pure-XLA limb-first
-    # variant OOM'd the compiler (~500k-op graph from unrolled CIOS muls);
-    # the limb-LAST variant ran at 1/8 lane utilization (2.1 s at 2^16).
+    # --- group-merge tree (1024 -> 1 per window/bucket).  Three generations
+    # of this code: per-limb lists OOM'd the XLA compiler (~500k-op graphs);
+    # per-level Pallas kernels ran fast but cost ~33 s of TRACING per cold
+    # MSM shape; plain-XLA array-limb levels traced in ~2 s but ran 8x slow
+    # (every CIOS concatenate breaks fusion -> HBM round trips, 0.9 s of the
+    # 1.27 s 2^20 MSM).  Final form: ONE Pallas kernel does every level in
+    # VMEM (array-limb body keeps the trace ~30k ops), grid over lane
+    # blocks; zero HBM intermediates.
+    from .limb_kernels import KF, k_add_complete
+
+    kf = KF(curve.fb)
     WB = W_real * B
-    assert WB % LANE == 0, "W*B must be a multiple of 128 for the merge kernel"
 
     def to_flat(a):  # (W, L, B, 8, 128) -> (L, 1024, WB)
         return jnp.transpose(a, (1, 3, 4, 0, 2)).reshape(L, GROUPS, WB)
 
     cur = tuple(to_flat(a) for a in (otx, oty, otz))
-    n_grp = GROUPS
-    while n_grp > 8:
-        h = n_grp // 2
-        S = (h * WB) // LANE
-        lo = tuple(a[:, :h].reshape(L, S, LANE) for a in cur)
-        hi = tuple(a[:, h:].reshape(L, S, LANE) for a in cur)
-        ox, oy, oz = _complete_add_call(curve, S)(*lo, *hi)
-        cur = tuple(a.reshape(L, h, WB) for a in (ox, oy, oz))
-        n_grp = h
+    if WB % LANE == 0:
+        mx, my, mz = _merge_call(curve, WB, interpret)(*cur)
+        cur = (mx, my, mz)
+    else:  # XLA fallback for widths that don't tile into lanes
+        n_grp = GROUPS
+        while n_grp > 1:
+            h = n_grp // 2
+            lo = tuple(a[:, :h] for a in cur)
+            hi = tuple(a[:, h:n_grp] for a in cur)
+            cur = tuple(k_add_complete(kf, lo, hi))
+            n_grp = h
 
-    # --- remaining tiny tail (8 -> 1 groups, suffix sums, Horner) in the
-    # compact limb-last jpoint ops: (L, 8, WB) -> (8, W, B, L)
-    def to_points(coords):
-        return Points(*(
-            jnp.transpose(a, (1, 2, 0)).reshape(8, W_real, B, L) for a in coords
-        ))
+    def to_pts(a):  # (L, 1, WB) -> (W, B, L)
+        return jnp.transpose(a[:, 0], (1, 0)).reshape(W_real, B, L)
 
-    table = to_points(cur)
-    while table.x.shape[0] > 1:
-        h = table.x.shape[0] // 2
-        lo = Points(*(tc[:h] for tc in table))
-        hi = Points(*(tc[h:] for tc in table))
-        table = curve.add(lo, hi)
-    buckets = Points(*(tc[0] for tc in table))  # (W, B, L)
+    buckets = Points(*(to_pts(a) for a in cur))  # (W, B, L)
 
     # suffix-of-suffix = sum_v v * B_v per window
     bsteps = max((B - 1).bit_length(), 1)
