@@ -80,6 +80,7 @@ class Field:
         self.mul = jax.jit(self.mul)
         self.square = jax.jit(self.square)
         self.to_mont = jax.jit(self.to_mont)
+        self.to_mont_words = jax.jit(self.to_mont_words)
         self.from_mont = jax.jit(self.from_mont)
         self.inv = jax.jit(self.inv)
         self.batch_inv = jax.jit(self.batch_inv, static_argnames=("axis",))
@@ -219,6 +220,16 @@ class Field:
     # -- Montgomery domain conversion ------------------------------------------
     def to_mont(self, a_std):
         return self.mul(a_std, jnp.asarray(self.r2_limbs))
+
+    def to_mont_words(self, words):
+        """(..., 8) uint32 little-endian 32-bit words (standard form, packed
+        32 bytes/element — HALF the transfer of (..., 16) uint32 limbs, which
+        matters through the TPU tunnel) -> Montgomery (..., L)."""
+        w = jnp.asarray(words)
+        limbs = jnp.stack([w & MASK, w >> LIMB_BITS], axis=-1).reshape(
+            w.shape[:-1] + (L,)
+        )
+        return self.to_mont(limbs)
 
     def from_mont(self, a_mont):
         one = jnp.zeros(L, jnp.uint32).at[0].set(1)

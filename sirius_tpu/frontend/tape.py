@@ -46,6 +46,7 @@ BIT = 9    # out = (s[a] >> b) & 1         (b immediate)
 INV0 = 10  # v = s[a] mod s[b]; out = v^-1 mod s[b] if v != 0 else 0
 ISZERO = 11  # out = 1 if s[a] == 0 else 0
 POWM = 12  # out = pow(s[a], b, s[c])      (b immediate exponent, c modulus slot)
+XOR = 13   # out = s[a] ^ s[b]             (both non-negative)
 
 _MAX_MAG = 1 << 1008  # C++ replay magnitude limit (16 x 64-bit limbs)
 
@@ -129,6 +130,19 @@ class Tr:
         if self.lb < 0:
             raise ValueError("traced & on a possibly-negative value")
         return self.t._emit(AND, self, self.t.const(m), lb=0, ub=min(self.ub, m))
+
+    def __xor__(self, o):
+        t = self.t
+        if isinstance(o, int):
+            if o < 0:
+                raise ValueError("traced ^ needs non-negative operands")
+            o = t.const(o)
+        if self.lb < 0 or o.lb < 0:
+            raise ValueError("traced ^ needs non-negative operands")
+        ub = (1 << max(self.ub.bit_length(), o.ub.bit_length())) - 1
+        return t._emit(XOR, self, o, lb=0, ub=ub)
+
+    __rxor__ = __xor__
 
     def __pow__(self, e, m=None):
         if m is None:
@@ -313,6 +327,8 @@ class TapeBuilder:
                 r = 1 if s[a] == 0 else 0
             elif op == POWM:
                 r = pow(s[a], b, s[c])
+            elif op == XOR:
+                r = s[a] ^ s[b]
             else:
                 raise ValueError(f"bad opcode {op}")
             s[base + i] = r

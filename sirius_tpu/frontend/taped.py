@@ -19,17 +19,25 @@ from typing import Sequence
 
 import numpy as np
 
-from ..fields.limb import ints_to_limbs, limbs_to_ints
 from .circuit import Assignment
 from .tape import TapeBuilder, Tr
 
 
+def _words_to_ints(col: np.ndarray) -> list[int]:
+    buf = np.ascontiguousarray(col, dtype="<u4").tobytes()
+    return [
+        int.from_bytes(buf[i * 32 : (i + 1) * 32], "little")
+        for i in range(col.shape[0])
+    ]
+
+
 class ReplayedWitness:
-    """Advice columns as standard-form (n, 16) uint32 limb arrays.
+    """Advice columns as standard-form (n, 8) uint32 word arrays (packed
+    32 bytes/value — half the device-transfer size of 16-bit limb arrays).
 
     Iterating yields per-column Python-int lists (for host consumers such as
     the lookup coefficient builder); `_concat_with_padding` has a fast path
-    that ships the limbs straight to the device.
+    that ships the words straight to the device and unpacks there.
     """
 
     __slots__ = ("cols",)
@@ -42,10 +50,10 @@ class ReplayedWitness:
 
     def __iter__(self):
         for col in self.cols:
-            yield limbs_to_ints(col)
+            yield _words_to_ints(col)
 
     def __getitem__(self, i):
-        return limbs_to_ints(self.cols[i])
+        return _words_to_ints(self.cols[i])
 
 
 class TapedSynthesis:
@@ -64,9 +72,9 @@ class TapedSynthesis:
 
         dyn_slots: list[int] = []
         self._cols: list[tuple[np.ndarray, np.ndarray, int, int]] = []
-        # per column: (template, dyn_rows, dyn_start, dyn_len)
+        # per column: (template (n, 8) u32 words, dyn_rows, dyn_start, dyn_len)
         for col_vals in asn.advice:
-            tmpl = np.zeros((n, 16), dtype=np.uint32)
+            tmpl = np.zeros((n, 8), dtype=np.uint32)
             static_rows: list[int] = []
             static_vals: list[int] = []
             rows: list[int] = []
@@ -79,7 +87,8 @@ class TapedSynthesis:
                     static_rows.append(r)
                     static_vals.append(v)
             if static_vals:
-                tmpl[np.asarray(static_rows)] = ints_to_limbs(static_vals)
+                buf = b"".join(int(v).to_bytes(32, "little") for v in static_vals)
+                tmpl[np.asarray(static_rows)] = np.frombuffer(buf, dtype="<u4").reshape(-1, 8)
             self._cols.append(
                 (tmpl, np.asarray(rows, dtype=np.int64), start, len(rows))
             )
@@ -96,12 +105,12 @@ class TapedSynthesis:
 
     def replay(self, inputs: Sequence[int]) -> tuple[ReplayedWitness, dict[str, int]]:
         raw = self.tape.replay([int(v) for v in inputs], self._out_slots)
-        limbs = raw.view("<u2").astype(np.uint32).reshape(-1, 16)
+        words = raw.view("<u4").reshape(-1, 8)
         cols = []
         for tmpl, rows, start, ln in self._cols:
             col = tmpl.copy()
             if ln:
-                col[rows] = limbs[start : start + ln]
+                col[rows] = words[start : start + ln]
             cols.append(col)
         named = dict(self._named_static)
         for name, ix in self._named_slots.items():
@@ -130,3 +139,26 @@ def tape_enabled() -> bool:
     import os
 
     return os.environ.get("SIRIUS_TPU_TAPE", "1") != "0"
+
+
+def sc_trace_bind(tape: TapeBuilder, sc):
+    """Install Tr tape inputs over a stateful step circuit's dynamic witness
+    (see ivc/step_circuit.py); returns a restore callable.  No-op for pure
+    circuits.  Must run AFTER the main input wrapping so the flatten order
+    (inputs, then step-circuit witness) matches."""
+    fn = getattr(sc, "dynamic_witness", None)
+    if fn is None:
+        return lambda: None
+    orig = list(fn())
+    sc.bind_witness([tape.input() for _ in orig])
+    return lambda: sc.bind_witness(orig)
+
+
+def sc_dynamic_values(sc) -> list[int]:
+    """Current dynamic-witness leaves of a step circuit ([] if pure)."""
+    fn = getattr(sc, "dynamic_witness", None)
+    return [] if fn is None else [int(v) for v in fn()]
+
+
+def sc_is_stateful(sc) -> bool:
+    return getattr(sc, "dynamic_witness", None) is not None

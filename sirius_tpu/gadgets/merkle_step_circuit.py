@@ -75,13 +75,16 @@ class HostMerkleTree:
 
 @dataclass
 class MerkleStepCircuit:
-    """One leaf update per step; deterministic schedule keyed by step count."""
+    """`batch` leaf updates per step (reference merkle bench sweeps batch
+    1..5, `docs/cyclefold_report.md:205-209`); deterministic schedule keyed
+    by step count."""
 
     field_spec: FieldSpec
     depth: int = 8
     arity: int = 1
+    batch: int = 1
     _step: int = 0
-    _witness: dict = field(default_factory=dict)
+    _witness: list = field(default_factory=list)
     tree: HostMerkleTree = None
 
     def __post_init__(self):
@@ -89,10 +92,13 @@ class MerkleStepCircuit:
             self.tree = HostMerkleTree(self.field_spec, self.depth)
         if not self._witness:
             # zero witness so structure dry-runs synthesize with real shapes
-            self._witness = {
-                "old_leaf": 0, "new_leaf": 0,
-                "sibs": [0] * self.depth, "bits": [0] * self.depth,
-            }
+            self._witness = [
+                {
+                    "old_leaf": 0, "new_leaf": 0,
+                    "sibs": [0] * self.depth, "bits": [0] * self.depth,
+                }
+                for _ in range(self.batch)
+            ]
 
     def instances(self):
         return []
@@ -100,22 +106,46 @@ class MerkleStepCircuit:
     def configure(self, cs):
         return MainGate.configure(cs, T=5)
 
+    # -- taped-synthesis dynamic witness (see ivc/step_circuit.py) ----------
+    def dynamic_witness(self) -> list:
+        out = []
+        for w in self._witness:
+            out.extend([w["old_leaf"], w["new_leaf"], *w["sibs"], *w["bits"]])
+        return out
+
+    def bind_witness(self, vals) -> None:
+        d = self.depth
+        per = 2 + 2 * d
+        assert len(vals) == per * self.batch
+        self._witness = [
+            {
+                "old_leaf": vals[i * per],
+                "new_leaf": vals[i * per + 1],
+                "sibs": list(vals[i * per + 2 : i * per + 2 + d]),
+                "bits": list(vals[i * per + 2 + d : i * per + 2 + 2 * d]),
+            }
+            for i in range(self.batch)
+        ]
+
     # -- schedule ----------------------------------------------------------
-    def _next_update(self, step: int) -> tuple[int, int]:
-        index = (step * 7 + 3) % (1 << self.depth)
-        value = hash2(self.field_spec, 0xBEEF + step, step)
+    def _next_update(self, step: int, j: int) -> tuple[int, int]:
+        index = (step * 7 + j * 13 + 3) % (1 << self.depth)
+        value = hash2(self.field_spec, 0xBEEF + step, step * self.batch + j)
         return index, value
 
     def process_step(self, z_i, k_table_size, spec):
         assert z_i[0] % spec.modulus == self.tree.root % spec.modulus, \
             "host tree out of sync with IVC state"
-        index, value = self._next_update(self._step)
-        old_leaf = self.tree.levels[0][index]
-        sibs, bits = self.tree.path(index)
-        self.tree.update(index, value)
-        self._witness = {
-            "old_leaf": old_leaf, "new_leaf": value, "sibs": sibs, "bits": bits,
-        }
+        witness = []
+        for j in range(self.batch):
+            index, value = self._next_update(self._step, j)
+            old_leaf = self.tree.levels[0][index]
+            sibs, bits = self.tree.path(index)
+            self.tree.update(index, value)
+            witness.append(
+                {"old_leaf": old_leaf, "new_leaf": value, "sibs": sibs, "bits": bits}
+            )
+        self._witness = witness
         self._step += 1
         return [self.tree.root]
 
@@ -128,22 +158,24 @@ class MerkleStepCircuit:
 
     def synthesize_step(self, config, ctx: RegionCtx, z_i):
         mg = MainGate(config, ctx.asn.p)
-        w = self._witness
-        old = mg.assign_value(ctx, w["old_leaf"])
-        new = mg.assign_value(ctx, w["new_leaf"])
-        cur_old, cur_new = old, new
-        for sib_v, bit_v in zip(w["sibs"], w["bits"]):
-            sib = mg.assign_value(ctx, sib_v)
-            bit = mg.assign_value(ctx, bit_v)
-            mg.assert_bit(ctx, bit)
-            for which in ("old", "new"):
-                cur = cur_old if which == "old" else cur_new
-                left = mg.conditional_select(ctx, bit, sib, cur)
-                right = mg.conditional_select(ctx, bit, cur, sib)
-                out = self._hash2_chip(mg, ctx, left, right)
-                if which == "old":
-                    cur_old = out
-                else:
-                    cur_new = out
-        ctx.constrain_equal(cur_old, z_i[0])
-        return [cur_new]
+        root = z_i[0]
+        for w in self._witness:
+            old = mg.assign_value(ctx, w["old_leaf"])
+            new = mg.assign_value(ctx, w["new_leaf"])
+            cur_old, cur_new = old, new
+            for sib_v, bit_v in zip(w["sibs"], w["bits"]):
+                sib = mg.assign_value(ctx, sib_v)
+                bit = mg.assign_value(ctx, bit_v)
+                mg.assert_bit(ctx, bit)
+                for which in ("old", "new"):
+                    cur = cur_old if which == "old" else cur_new
+                    left = mg.conditional_select(ctx, bit, sib, cur)
+                    right = mg.conditional_select(ctx, bit, cur, sib)
+                    out = self._hash2_chip(mg, ctx, left, right)
+                    if which == "old":
+                        cur_old = out
+                    else:
+                        cur_new = out
+            ctx.constrain_equal(cur_old, root)
+            root = cur_new
+        return [root]

@@ -26,13 +26,7 @@ class RangeCheckStepCircuit:
 
     field_spec: FieldSpec
     arity: int = 1
-    _witness: dict = field(default_factory=dict)
-
     LOW_BITS = 64
-
-    def __post_init__(self):
-        if not self._witness:
-            self._witness = {"lo_bytes": [0] * 8, "hi_bytes": [0] * 9, "z": 0}
 
     def instances(self):
         return []
@@ -50,18 +44,22 @@ class RangeCheckStepCircuit:
         lo = v & ((1 << self.LOW_BITS) - 1)
         hi = v >> self.LOW_BITS
         assert hi < (1 << 72), "inductive 64-bit bound violated"
-        self._witness = {
-            "z": z,
-            "lo_bytes": [(lo >> (8 * j)) & 0xFF for j in range(8)],
-            "hi_bytes": [(hi >> (8 * j)) & 0xFF for j in range(9)],
-        }
         return [lo]
 
     def synthesize_step(self, config, ctx: RegionCtx, z_i):
         mg_cfg, a, t = config
         mg = MainGate(mg_cfg, ctx.asn.p)
         asn = ctx.asn
-        w = self._witness
+        # witness recomputed from z_i: pure function of state (tape-safe)
+        p = ctx.asn.p
+        zv = z_i[0].value
+        vv = (zv * zv + zv + 5) % p
+        lo_v = vv & ((1 << self.LOW_BITS) - 1)
+        hi_v = vv >> self.LOW_BITS
+        w = {
+            "lo_bytes": [(lo_v >> (8 * j)) & 0xFF for j in range(8)],
+            "hi_bytes": [(hi_v >> (8 * j)) & 0xFF for j in range(9)],
+        }
 
         # fixed byte table (all rows; extra rows hold repeats, incl. 0)
         n = 1 << asn.k

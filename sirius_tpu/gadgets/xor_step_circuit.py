@@ -23,11 +23,6 @@ class XorStepCircuit:
 
     field_spec: FieldSpec
     arity: int = 1
-    _witness: dict = field(default_factory=dict)
-
-    def __post_init__(self):
-        if not self._witness:
-            self._witness = {"n1": 0, "n2": 0, "x": 0}
 
     def instances(self):
         return []
@@ -44,17 +39,17 @@ class XorStepCircuit:
 
     def process_step(self, z_i, k_table_size, spec):
         z = z_i[0] % spec.modulus
-        n1 = z & 0xF
-        n2 = (z >> NIBBLE) & 0xF
-        x = n1 ^ n2
-        self._witness = {"n1": n1, "n2": n2, "x": x}
+        x = (z & 0xF) ^ ((z >> NIBBLE) & 0xF)
         return [(z + x) % spec.modulus]
 
     def synthesize_step(self, config, ctx: RegionCtx, z_i):
         mg_cfg, (a, b, c), (t1, t2, t3) = config
         mg = MainGate(mg_cfg, ctx.asn.p)
         asn = ctx.asn
-        w = self._witness
+        # witness values recomputed from z_i so the circuit stays a pure
+        # function of its state (tape-safe; no dynamic_witness needed)
+        zv = z_i[0].value
+        w = {"x": ((zv & 0xF) ^ ((zv >> NIBBLE) & 0xF))}
 
         # (x, y, x^y) table over 4-bit operands; row 0 repeats (0,0,0)
         for row in range(1 << asn.k):

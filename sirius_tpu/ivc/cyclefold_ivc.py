@@ -360,7 +360,9 @@ def _cf_pack(inp: CyclefoldStepInputs, P) -> CyclefoldStepInputs:
     )
 
 
-def _cf_flatten(inp: CyclefoldStepInputs) -> list[int]:
+def _cf_flatten(inp: CyclefoldStepInputs, sc=None) -> list[int]:
+    from ..frontend.taped import sc_dynamic_values
+
     out: list[int] = []
 
     def P(v):
@@ -368,6 +370,8 @@ def _cf_flatten(inp: CyclefoldStepInputs) -> list[int]:
         return v
 
     _cf_pack(inp, P)
+    if sc is not None:
+        out.extend(sc_dynamic_values(sc))
     return out
 
 
@@ -447,12 +451,17 @@ class CyclefoldPublicParams:
         self.num_challenges_primary = probe_meta.num_challenges
         self.num_witness_primary = len(probe_meta.round_sizes)
         dry_inputs = self._dry_inputs()
+        restore_sc = lambda: None
         if use_tape:
+            from ..frontend.taped import sc_trace_bind
+
             sfc_tape = TapeBuilder()
             dry_inputs = _cf_pack(dry_inputs, lambda v: sfc_tape.input())
+            restore_sc = sc_trace_bind(sfc_tape, step_circuit)
         dry = CyclefoldSFC(step_circuit, dry_inputs, self.f1)
         runner = CircuitRunner(k, self.f1, dry, [[0, 0]])
         self.S_primary = runner.collect_plonk_structure()
+        restore_sc()
         assert len(self.S_primary.gates) == self.n_gates
         if use_tape:
             named = {"x0": dry.x0_value, "x1": dry.x1_value}
@@ -607,10 +616,24 @@ class CyclefoldIVC:
         pp = self.pp
         arity = pp.sc.arity
         if pp.sfc_taped is not None:
-            W, named = pp.sfc_taped.replay(_cf_flatten(inputs))
+            from ..frontend.taped import sc_is_stateful
+
+            z_host = None
+            if sc_is_stateful(pp.sc):
+                # advance the prover's host state (e.g. the Merkle DB) and
+                # refresh the dynamic witness BEFORE flattening
+                z_host = pp.sc.process_step(inputs.z_i, pp.k, pp.f1)
+            W, named = pp.sfc_taped.replay(_cf_flatten(inputs, pp.sc))
             z_next = [named[f"z{i}"] for i in range(arity)]
+            if z_host is not None:
+                assert z_next == [v % pp.f1.modulus for v in z_host], \
+                    "taped replay z_next diverges from host process_step"
             x1 = marker_of_z(z_next)
-            assert named["x1"] == x1, "cyclefold: on/off-circuit X1 mismatch"
+            assert named["x1"] == x1, (
+                "cyclefold: on/off-circuit X1 mismatch (a stateful step "
+                "circuit must implement dynamic_witness/bind_witness — see "
+                "ivc/step_circuit.py)"
+            )
             return W, z_next, x1
         z_next = pp.sc.process_step(inputs.z_i, pp.k, pp.f1)
         x1 = marker_of_z(z_next)
@@ -676,13 +699,16 @@ class CyclefoldIVC:
                 f"support delegation #{i} disagrees with the PG fold"
             sup_circuit = SupportCircuit(sup_input, num_bits=f1.num_bits)
             sup_instances = [sup_input.into_instance(pp.f2.modulus)]
-            sup_W = self._support_witness(sup_circuit)
-            support_trace = run_sps_protocol(
-                pp.S_support, pp.ck2, sup_instances, sup_W, PoseidonHash(default_ro_spec(f1))
-            )
-            new_support_acc, sup_cross = sg.VanillaFS.prove(
-                pp.ck2, pp.sangria_pp_support, ro(), new_support_acc, support_trace
-            )
+            with span("support_witness"):
+                sup_W = self._support_witness(sup_circuit)
+            with span("support_sps"):
+                support_trace = run_sps_protocol(
+                    pp.S_support, pp.ck2, sup_instances, sup_W, PoseidonHash(default_ro_spec(f1))
+                )
+            with span("support_sangria_prove"):
+                new_support_acc, sup_cross = sg.VanillaFS.prove(
+                    pp.ck2, pp.sangria_pp_support, ro(), new_support_acc, support_trace
+                )
             support_incoming.append(support_trace.u)
             support_cross.append(sup_cross)
             self.support_pub_instances.append(support_trace.u.instances)
@@ -749,7 +775,12 @@ class CyclefoldIVC:
         if expected_x1 != self.primary_trace.u.instances[0][1] % f1.modulus:
             errors.append("marker X1 mismatch")
         with span("verify_pg_is_sat"):
-            errors += [f"pg: {e}" for e in pg.ProtoGalaxy.is_sat(pp.ck1, pp.S_primary, self.self_acc)]
+            errors += [
+                f"pg: {e}"
+                for e in pg.ProtoGalaxy.is_sat(
+                    pp.ck1, pp.S_primary, self.self_acc, check_commit=False
+                )
+            ]
         with span("verify_support_is_sat"):
             errors += [
                 f"support: {e}"
@@ -763,10 +794,25 @@ class CyclefoldIVC:
             try:
                 satisfy.is_sat(
                     pp.S_primary, pp.ck1, PoseidonHash(default_ro_spec(f1)),
-                    self.primary_trace.u, self.primary_trace.w,
+                    self.primary_trace.u, self.primary_trace.w, check_commit=False,
                 )
             except satisfy.IsSatError as e:
                 errors.append(f"primary trace: {e}")
+        # one RLC MSM covers every primary-curve commitment opening: the PG
+        # accumulator's witness rounds AND the pending trace's
+        with span("verify_commitments"):
+            pairs = list(
+                zip(self.self_acc.trace.w.W, self.self_acc.trace.u.W_commitments)
+            ) + list(zip(self.primary_trace.w.W, self.primary_trace.u.W_commitments))
+            check = getattr(pp.ck1, "batched_commit_check", None)
+            if check is not None:
+                bad = check(pairs)
+                if bad:
+                    errors.append(f"commitment mismatch (pair indices {bad})")
+            else:
+                for i, (W, C) in enumerate(pairs):
+                    if pp.ck1.commit_device(W) != C:
+                        errors.append(f"commitment mismatch (pair {i})")
         return errors
 
 

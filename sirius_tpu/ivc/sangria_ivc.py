@@ -279,7 +279,9 @@ def _sg_pack(inp: StepInputs, P) -> StepInputs:
     )
 
 
-def _sg_flatten(inp: StepInputs) -> list[int]:
+def _sg_flatten(inp: StepInputs, sc=None) -> list[int]:
+    from ..frontend.taped import sc_dynamic_values
+
     out: list[int] = []
 
     def P(v):
@@ -287,6 +289,8 @@ def _sg_flatten(inp: StepInputs) -> list[int]:
         return v
 
     _sg_pack(inp, P)
+    if sc is not None:
+        out.extend(sc_dynamic_values(sc))
     return out
 
 
@@ -294,13 +298,15 @@ def _trace_sfc(k: int, fspec: FieldSpec, sc: StepCircuit, inputs: StepInputs,
                paired: CurveSpec, instances):
     """Dry-run an SFC in trace mode: returns (structure, TapedSynthesis)."""
     from ..frontend.tape import TapeBuilder
-    from ..frontend.taped import TapedSynthesis
+    from ..frontend.taped import TapedSynthesis, sc_trace_bind
 
     tape = TapeBuilder()
     wrapped = _sg_pack(inputs, lambda v: tape.input())
+    restore_sc = sc_trace_bind(tape, sc)
     sfc = StepFoldingCircuit(sc, wrapped, paired, fspec)
     runner = CircuitRunner(k, fspec, sfc, instances)
     S = runner.collect_plonk_structure()
+    restore_sc()
     named = {"x0": sfc.x0_value, "x1": sfc.x1_value}
     named.update({f"z{i}": v for i, v in enumerate(sfc.z_next_values)})
     return S, TapedSynthesis(tape, runner._asn, named=named)
@@ -436,7 +442,9 @@ class PublicParams:
                 k2, f2, secondary_sc, sec_inp, self.secondary.paired,
                 sec_sfc.instances(sec_markers),
             )
-            sec_witness, sec_named = self.secondary_taped.replay(_sg_flatten(sec_inp))
+            sec_witness, sec_named = self.secondary_taped.replay(
+                _sg_flatten(sec_inp, secondary_sc)
+            )
             assert sec_named["x1"] == sec_markers[1], "pp: secondary X1 mismatch"
         else:
             sec_runner = CircuitRunner(k2, f2, sec_sfc, sec_sfc.instances(sec_markers))
@@ -579,8 +587,11 @@ class IVC:
         """SFC advice witness: tape replay (default) or direct synthesis,
         with the on-/off-circuit X1 cross-checked either way."""
         if taped is not None:
-            W, named = taped.replay(_sg_flatten(sfc.inp))
-            assert named["x1"] == expect_x1 % fspec.modulus, "on/off-circuit X1 mismatch"
+            W, named = taped.replay(_sg_flatten(sfc.inp, sfc.sc))
+            assert named["x1"] == expect_x1 % fspec.modulus, (
+                "on/off-circuit X1 mismatch (a stateful step circuit must "
+                "implement dynamic_witness/bind_witness — see ivc/step_circuit.py)"
+            )
             return W
         runner = CircuitRunner(side.k, fspec, sfc, instances)
         W = runner.collect_witness()

@@ -270,7 +270,7 @@ static void inv_mod(Big &out, const Big &a, const Big &m) {
 enum {
   OP_CONST = 0, OP_ADD = 1, OP_SUB = 2, OP_MUL = 3, OP_MODC = 4, OP_DIVC = 5,
   OP_SHR = 6, OP_SHL = 7, OP_AND = 8, OP_BIT = 9, OP_INV0 = 10, OP_ISZERO = 11,
-  OP_POWM = 12,
+  OP_POWM = 12, OP_XOR = 13,
 };
 
 extern "C" int sirius_tape_replay(
@@ -394,6 +394,17 @@ extern "C" int sirius_tape_replay(
           }
         }
         r = acc;
+        break;
+      }
+      case OP_XOR: {
+        if (s[a].neg || s[b].neg) { err = 4; break; }
+        const Big &x = s[a], &y = s[b];
+        int n = x.len > y.len ? x.len : y.len;
+        for (int j = 0; j < n; j++)
+          r.mag[j] = (j < x.len ? x.mag[j] : 0) ^ (j < y.len ? y.mag[j] : 0);
+        r.len = n;
+        r.neg = 0;
+        norm(r);
         break;
       }
       default:

@@ -701,20 +701,31 @@ class ProtoGalaxy:
 
     @staticmethod
     def is_sat_witness_commit(ck: CommitmentKey, acc: Accumulator) -> None:
-        for i, (Ci, Wi) in enumerate(zip(acc.trace.u.W_commitments, acc.trace.w.W)):
+        check = getattr(ck, "batched_commit_check", None)
+        pairs = list(zip(acc.trace.w.W, acc.trace.u.W_commitments))
+        if check is not None:
+            bad = check(pairs)
+            if bad:
+                raise VerifyError(f"witness commitment mismatch rounds {bad}")
+            return
+        for i, (Wi, Ci) in enumerate(pairs):
             if ck.commit_device(Wi) != Ci:
                 raise VerifyError(f"witness commitment mismatch round {i}")
 
     @staticmethod
-    def is_sat(ck, S: PlonkStructure, acc: Accumulator) -> list:
+    def is_sat(ck, S: PlonkStructure, acc: Accumulator, check_commit: bool = True) -> list:
         from ..util.profiling import span
 
         errors = []
-        for name, check in (
+        checks = [
             ("pg_is_sat_accumulation", lambda: ProtoGalaxy.is_sat_accumulation(S, acc)),
             ("pg_is_sat_permutation", lambda: ProtoGalaxy.is_sat_permutation(S, acc)),
-            ("pg_is_sat_witness_commit", lambda: ProtoGalaxy.is_sat_witness_commit(ck, acc)),
-        ):
+        ]
+        if check_commit:
+            checks.append(
+                ("pg_is_sat_witness_commit", lambda: ProtoGalaxy.is_sat_witness_commit(ck, acc))
+            )
+        for name, check in checks:
             try:
                 with span(name):
                     check()

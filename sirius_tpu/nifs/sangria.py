@@ -285,7 +285,11 @@ class VanillaFS:
         it = iter(outs)
         for t in S.custom_gates_lookup_compressed.grouped.iter_from_first():
             cross_terms.append(next(it) if t is not None else f.zeros((S.n,)))
-        cross_term_commits = [ck.commit_device(T) for T in cross_terms]
+        if len(cross_terms) > 1 and hasattr(ck, "commit_device_many"):
+            # one batched MSM program for every T_k (shared key points)
+            cross_term_commits = ck.commit_device_many(jnp.stack(cross_terms))
+        else:
+            cross_term_commits = [ck.commit_device(T) for T in cross_terms]
         return cross_terms, cross_term_commits
 
     @staticmethod
@@ -329,14 +333,19 @@ class VanillaFS:
         U1, W1 = accumulator.U, accumulator.W
         U2, W2 = incoming.u, incoming.w
 
-        cross_terms, cross_term_commits = VanillaFS.commit_cross_terms(
-            ck, S, U1, W1, U2, W2
-        )
-        r = VanillaFS.generate_challenge(
-            pp.pp_digest, ro_acc, U1, U2, cross_term_commits, curve.base.modulus
-        )
-        U = U1.fold(curve, U2, cross_term_commits, r)
-        W = W1.fold(S.field, W2, cross_terms, r)
+        from ..util.profiling import span
+
+        with span("sangria_cross_terms"):
+            cross_terms, cross_term_commits = VanillaFS.commit_cross_terms(
+                ck, S, U1, W1, U2, W2
+            )
+        with span("sangria_challenge"):
+            r = VanillaFS.generate_challenge(
+                pp.pp_digest, ro_acc, U1, U2, cross_term_commits, curve.base.modulus
+            )
+        with span("sangria_fold"):
+            U = U1.fold(curve, U2, cross_term_commits, r)
+            W = W1.fold(S.field, W2, cross_terms, r)
         return RelaxedPlonkTrace(U, W), cross_term_commits
 
     @staticmethod
@@ -405,7 +414,18 @@ class VanillaFS:
 
     @staticmethod
     def is_sat_witness_commit(ck: CommitmentKey, acc: RelaxedPlonkTrace) -> None:
-        for i, (Ci, Wi) in enumerate(zip(acc.U.W_commitments, acc.W.W)):
+        pairs = list(zip(acc.W.W, acc.U.W_commitments)) + [
+            (acc.W.E, acc.U.E_commitment)
+        ]
+        check = getattr(ck, "batched_commit_check", None)
+        if check is not None:
+            bad = check(pairs)
+            if bad:
+                last = len(pairs) - 1
+                names = ["E" if i == last else f"round {i}" for i in bad]
+                raise VerifyError(f"witness commitment mismatch: {', '.join(names)}")
+            return
+        for i, (Wi, Ci) in enumerate(pairs[:-1]):
             if ck.commit_device(Wi) != Ci:
                 raise VerifyError(f"witness commitment mismatch round {i}")
         if ck.commit_device(acc.W.E) != acc.U.E_commitment:

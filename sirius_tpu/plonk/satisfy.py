@@ -65,9 +65,14 @@ def is_sat(
     ro_nark: PoseidonHash,
     U: PlonkInstance,
     W: PlonkWitness,
+    check_commit: bool = True,
 ) -> None:
     """Reference `is_sat` (`plonk/mod.rs:304-361`): sps_verify + per-row
-    compressed gate + log-derivative sums + commitment re-check."""
+    compressed gate + log-derivative sums + commitment re-check.
+
+    check_commit=False lets the caller batch this trace's commitment
+    openings with others in one RLC MSM (CommitmentKey.batched_commit_check).
+    """
     sps_verify(U, ro_nark)
 
     mism = eval_gate_mismatches(S, U.challenges, W)
@@ -81,9 +86,16 @@ def is_sat(
     if not is_sat_log_derivative(S, W):
         raise LogDerivativeNotSat()
 
-    for i, (Ci, Wi) in enumerate(zip(U.W_commitments, W.W)):
-        if ck.commit_device(Wi) != Ci:
-            raise CommitmentMismatch(f"round {i}")
+    if check_commit:
+        check = getattr(ck, "batched_commit_check", None)
+        if check is not None:
+            bad = check(list(zip(W.W, U.W_commitments)))
+            if bad:
+                raise CommitmentMismatch(f"rounds {bad}")
+        else:
+            for i, (Ci, Wi) in enumerate(zip(U.W_commitments, W.W)):
+                if ck.commit_device(Wi) != Ci:
+                    raise CommitmentMismatch(f"round {i}")
 
 
 def is_sat_log_derivative(S: PlonkStructure, W: PlonkWitness) -> bool:

@@ -48,15 +48,16 @@ def _concat_with_padding(f: Field, cols: Sequence[Sequence[int]], n: int) -> jnp
     from ..frontend.taped import ReplayedWitness
 
     if isinstance(cols, ReplayedWitness):
-        # tape-replay fast path: columns are already (n, 16) standard-form
-        # limb arrays — one device to_mont instead of a host bignum loop
+        # tape-replay fast path: columns are (n, 8) packed standard-form
+        # words — halves the host->device transfer vs 16-bit limb arrays,
+        # unpacked + to_mont in one device program
         import numpy as np
 
         if not len(cols):
             return f.zeros((0,))
         arr = np.concatenate(cols.cols, axis=0)
         assert arr.shape[0] == len(cols) * n
-        out = f.to_mont(jnp.asarray(arr))
+        out = f.to_mont_words(jnp.asarray(arr))
     else:
         flat: list[int] = []
         for col in cols:
@@ -97,11 +98,16 @@ def run_sps_protocol(
         )
 
     if nc == 1:
-        W1 = _concat_with_padding(f, advice, n)
-        C1 = ck.commit_device(W1)
-        _absorb_instances(ro_nark, instances)
-        ro_nark.absorb_point(C1)
-        r1 = ro_nark.squeeze(NUM_CHALLENGE_BITS)
+        from ..util.profiling import span
+
+        with span("sps_concat"):
+            W1 = _concat_with_padding(f, advice, n)
+        with span("sps_commit"):
+            C1 = ck.commit_device(W1)
+        with span("sps_transcript"):
+            _absorb_instances(ro_nark, instances)
+            ro_nark.absorb_point(C1)
+            r1 = ro_nark.squeeze(NUM_CHALLENGE_BITS)
         return PlonkTrace(
             PlonkInstance([C1], [list(i) for i in instances], [r1]),
             PlonkWitness([W1]),

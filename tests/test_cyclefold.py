@@ -19,6 +19,26 @@ from sirius_tpu.ivc.step_circuit import TrivialStepCircuit
 from sirius_tpu.util.testing import MockCommitmentKey
 
 
+@pytest.fixture(autouse=True)
+def _clear_between_tests():
+    """Per-TEST compiled-cache clearing: each cyclefold e2e compiles enough
+    big limb-first programs that XLA:CPU's known executable-count abort (see
+    conftest) can trip within this single module."""
+    yield
+    import jax
+
+    from sirius_tpu.nifs import protogalaxy as _pg
+    from sirius_tpu.nifs import sangria as _sg
+    from sirius_tpu.plonk import eval as _ev
+    from sirius_tpu.plonk import permutation as _pm
+
+    _pg._PG_COMPILED.clear()
+    _sg._FOLD_COMPILED.clear()
+    _ev._COMPILED_CACHE.clear()
+    _pm._PERM_IDX_CACHE.clear()
+    jax.clear_caches()
+
+
 def test_cyclefold_trivial_two_steps():
     pp = CyclefoldPublicParams(
         TrivialStepCircuit(arity=1),
