@@ -35,7 +35,13 @@ import jax.numpy as jnp
 import numpy as np
 
 BASELINE_MSM_POINTS_PER_SEC = 1.5e6
-BASELINE_TRIVIAL = {"new": 7.03, "next": 5.4, "verify": 1.45}
+# docs/cyclefold_report.md:171-195 (EPYC 7702 64c, k=20, 2^23-2^24 keys)
+BASELINES = {
+    "trivial": {"new": 7.03, "next": 5.4, "verify": 1.45},
+    "poseidon": {"new": 8.88, "next": 6.04, "verify": 2.00},
+    "sha256": {"new": 105.0, "next": 91.0, "verify": 10.7},
+}
+BASELINE_TRIVIAL = BASELINES["trivial"]
 
 
 def bench_msm(curve, log_n: int):
@@ -101,12 +107,28 @@ def bench_ntt(log_n: int):
     return n / (time.time() - t0)
 
 
-def bench_cyclefold_ivc(k: int, key_k: int):
-    """Trivial-circuit cyclefold IVC with REAL commitment keys: pp/new/next/
-    verify wall-clock (the BASELINE.md headline workload)."""
+def _make_step(kind: str):
+    from sirius_tpu.fields.constants import bn256_fr
+    from sirius_tpu.ivc.step_circuit import TrivialStepCircuit
+
+    if kind == "trivial":
+        return TrivialStepCircuit(arity=1)
+    if kind == "poseidon":
+        from sirius_tpu.gadgets.poseidon_step_circuit import PoseidonStepCircuit
+
+        return PoseidonStepCircuit(bn256_fr, repeat_count=1)
+    if kind == "sha256":
+        from sirius_tpu.gadgets.spread_sha256 import SpreadSha256StepCircuit
+
+        return SpreadSha256StepCircuit(bn256_fr, half_bits=16)
+    raise ValueError(kind)
+
+
+def bench_cyclefold_ivc(k: int, key_k: int, step_kind: str = "trivial"):
+    """Cyclefold IVC with REAL commitment keys: pp/new/next/verify
+    wall-clock (the BASELINE.md workloads; step_kind picks the row)."""
     from sirius_tpu.curves.jpoint import BN256_G1, GRUMPKIN
     from sirius_tpu.ivc.cyclefold_ivc import SUPPORT_K, CyclefoldIVC, CyclefoldPublicParams
-    from sirius_tpu.ivc.step_circuit import TrivialStepCircuit
     from sirius_tpu.ops.commitment import CommitmentKey
 
     t0 = time.time()
@@ -115,7 +137,7 @@ def bench_cyclefold_ivc(k: int, key_k: int):
     key_s = time.time() - t0
 
     t0 = time.time()
-    pp = CyclefoldPublicParams(TrivialStepCircuit(arity=1), k=k, ck_primary=ck1, ck_support=ck2)
+    pp = CyclefoldPublicParams(_make_step(step_kind), k=k, ck_primary=ck1, ck_support=ck2)
     pp_s = time.time() - t0
 
     # criterion-style warmup (the reference bench also runs warmup
@@ -172,17 +194,22 @@ def main():
     }
 
     if scope == "full" and on_tpu:
-        ivc = bench_cyclefold_ivc(ivc_k, key_k)
+        step_kind = os.environ.get("SIRIUS_TPU_BENCH_STEP", "trivial")
+        if step_kind == "sha256":
+            ivc_k = max(ivc_k, 18)  # the 3-W-commitment SFC needs 2^18 rows
+            key_k = max(ivc_k + 4, key_k)
+        base = BASELINES[step_kind]
+        ivc = bench_cyclefold_ivc(ivc_k, key_k, step_kind)
         out.update({f"ivc_{k}": round(v, 2) for k, v in ivc.items()})
         out.update(
             {
-                "metric": f"cyclefold_trivial_k{ivc_k}_ivc_next_s",
+                "metric": f"cyclefold_{step_kind}_k{ivc_k}_ivc_next_s",
                 "value": round(ivc["next_s"], 2),
                 "unit": "s",
-                "vs_baseline": round(BASELINE_TRIVIAL["next"] / ivc["next_s"], 4),
-                "ivc_new_vs_baseline": round(BASELINE_TRIVIAL["new"] / ivc["new_s"], 4),
-                "ivc_verify_vs_baseline": round(BASELINE_TRIVIAL["verify"] / ivc["verify_s"], 4),
-                "baseline": "EPYC 7702 64c, docs/cyclefold_report.md:171-173 (k=20, 2^23 key)",
+                "vs_baseline": round(base["next"] / ivc["next_s"], 4),
+                "ivc_new_vs_baseline": round(base["new"] / ivc["new_s"], 4),
+                "ivc_verify_vs_baseline": round(base["verify"] / ivc["verify_s"], 4),
+                "baseline": "EPYC 7702 64c, docs/cyclefold_report.md:171-195 (k=20, 2^23-2^24 keys)",
             }
         )
     else:

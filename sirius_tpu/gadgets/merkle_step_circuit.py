@@ -39,37 +39,40 @@ class HostMerkleTree:
     """Dense Poseidon Merkle tree on the host (prover database)."""
 
     def __init__(self, fspec: FieldSpec, depth: int):
+        """Sparse: only touched nodes are stored (the reference tree is
+        depth 32, `examples/merkle/merkle_tree_gadget/off_circuit.rs:26` —
+        a dense level array would need 2^32 entries)."""
         self.fspec = fspec
         self.depth = depth
-        self.levels: list[list[int]] = [[0] * (1 << depth)]
+        self.defaults = [0]
         for d in range(depth):
-            below = self.levels[-1]
-            self.levels.append(
-                [hash2(fspec, below[2 * i], below[2 * i + 1]) for i in range(len(below) // 2)]
-            )
+            self.defaults.append(hash2(fspec, self.defaults[d], self.defaults[d]))
+        self.nodes: dict[tuple[int, int], int] = {}
+
+    def node(self, d: int, i: int) -> int:
+        return self.nodes.get((d, i), self.defaults[d])
 
     @property
     def root(self) -> int:
-        return self.levels[-1][0]
+        return self.node(self.depth, 0)
 
     def path(self, index: int) -> tuple[list[int], list[int]]:
         """(sibling values, path bits) bottom-up for a leaf index."""
         sibs, bits = [], []
         i = index
         for d in range(self.depth):
-            bit = i & 1
-            sibs.append(self.levels[d][i ^ 1])
-            bits.append(bit)
+            sibs.append(self.node(d, i ^ 1))
+            bits.append(i & 1)
             i >>= 1
         return sibs, bits
 
     def update(self, index: int, value: int) -> None:
-        self.levels[0][index] = value % self.fspec.modulus
+        self.nodes[(0, index)] = value % self.fspec.modulus
         i = index
         for d in range(self.depth):
             i >>= 1
-            self.levels[d + 1][i] = hash2(
-                self.fspec, self.levels[d][2 * i], self.levels[d][2 * i + 1]
+            self.nodes[(d + 1, i)] = hash2(
+                self.fspec, self.node(d, 2 * i), self.node(d, 2 * i + 1)
             )
 
 
@@ -139,7 +142,7 @@ class MerkleStepCircuit:
         witness = []
         for j in range(self.batch):
             index, value = self._next_update(self._step, j)
-            old_leaf = self.tree.levels[0][index]
+            old_leaf = self.tree.node(0, index)
             sibs, bits = self.tree.path(index)
             self.tree.update(index, value)
             witness.append(
