@@ -47,25 +47,28 @@ BASELINE_TRIVIAL = BASELINES["trivial"]
 def bench_msm(curve, log_n: int):
     """MSM points/s at 2^log_n on the default commit path (gold-checked)."""
     from sirius_tpu.fields import gold
-    from sirius_tpu.fields.limb import ints_to_limbs
     from sirius_tpu.ops.commitment import CommitmentKey
     from sirius_tpu.ops.msm import best_msm
     from sirius_tpu.curves.jpoint import Points
 
     n = 1 << log_n
     ck = CommitmentKey.setup(curve, log_n, b"bench", use_cache=True)
+    # Vectorized scalar generation: 16x16-bit limbs with the top 4 bits of
+    # the high limb cleared -> uniform over [0, 2^252) < p, no bigint mod.
+    # (The old per-element Python bigint loop took minutes at 2^20.)
     rng = np.random.default_rng(42)
-    scalars = [
-        (int(a) | (int(b) << 63) | (int(c) << 126) | (int(d) << 189)) % curve.fs.p
-        for a, b, c, d in rng.integers(0, 2**63, size=(n, 4))
-    ]
-    arr = jnp.asarray(ints_to_limbs(scalars))
+    limbs = rng.integers(0, 1 << 16, size=(n, 16), dtype=np.uint32)
+    limbs[:, 15] &= 0x0FFF
+    arr = jnp.asarray(limbs)
 
     # correctness spot-check vs the gold model on a small prefix
-    m = 512
+    m = 256
+    scalars_m = [
+        sum(int(v) << (16 * i) for i, v in enumerate(row)) for row in limbs[:m]
+    ]
     got = best_msm(curve, arr[:m], Points(ck.points.x[:m], ck.points.y[:m], ck.points.z[:m]),
                    assume_distinct=True)
-    want = gold.msm(scalars[:m], ck.host_points()[:m])
+    want = gold.msm(scalars_m, ck.host_points()[:m])
     assert got == want, "MSM kernel disagrees with gold model"
 
     best_msm(curve, arr, ck.points, assume_distinct=True)  # compile + warm
