@@ -23,7 +23,15 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
+
+_T0 = time.time()
+
+
+def _stage(msg: str) -> None:
+    """Progress marker on stderr (stdout stays one JSON line)."""
+    print(f"[bench +{time.time() - _T0:7.1f}s] {msg}", file=sys.stderr, flush=True)
 
 import jax
 
@@ -52,7 +60,9 @@ def bench_msm(curve, log_n: int):
     from sirius_tpu.curves.jpoint import Points
 
     n = 1 << log_n
+    _stage(f"msm: key setup 2^{log_n}")
     ck = CommitmentKey.setup(curve, log_n, b"bench", use_cache=True)
+    _stage("msm: key ready; gold spot-check")
     # Vectorized scalar generation: 16x16-bit limbs with the top 4 bits of
     # the high limb cleared -> uniform over [0, 2^252) < p, no bigint mod.
     # (The old per-element Python bigint loop took minutes at 2^20.)
@@ -66,12 +76,16 @@ def bench_msm(curve, log_n: int):
     scalars_m = [
         sum(int(v) << (16 * i) for i, v in enumerate(row)) for row in limbs[:m]
     ]
-    got = best_msm(curve, arr[:m], Points(ck.points.x[:m], ck.points.y[:m], ck.points.z[:m]),
-                   assume_distinct=True)
-    want = gold.msm(scalars_m, ck.host_points()[:m])
+    prefix = Points(ck.points.x[:m], ck.points.y[:m], ck.points.z[:m])
+    got = best_msm(curve, arr[:m], prefix, assume_distinct=True)
+    # decode only the prefix: ck.host_points() materializes ALL 2^log_n
+    # generators as Python objects (minutes at 2^20)
+    want = gold.msm(scalars_m, curve.decode(prefix))
     assert got == want, "MSM kernel disagrees with gold model"
 
+    _stage("msm: gold ok; compile+warm full MSM")
     best_msm(curve, arr, ck.points, assume_distinct=True)  # compile + warm
+    _stage("msm: timing")
     t0 = time.time()
     res = best_msm(curve, arr, ck.points, assume_distinct=True)
     dt = time.time() - t0
@@ -89,7 +103,9 @@ def bench_native(curve, ck, log_n: int):
         (int(a) | (int(b) << 63) | (int(c) << 126) | (int(d) << 189)) % curve.fs.p
         for a, b, c, d in rng.integers(0, 2**63, size=(n, 4))
     ]
-    host_pts = ck.host_points()[:n]
+    from sirius_tpu.curves.jpoint import Points
+
+    host_pts = curve.decode(Points(ck.points.x[:n], ck.points.y[:n], ck.points.z[:n]))
     native.native_msm(curve.spec, host_pts, scalars)  # warm
     t0 = time.time()
     native.native_msm(curve.spec, host_pts, scalars)
@@ -181,7 +197,9 @@ def main():
     key_k = max(ivc_k + 3, 14)
 
     msm_pts, ck = bench_msm(BN256_G1, log_n)
+    _stage(f"msm done: {msm_pts:.0f} pts/s")
     native_pts = bench_native(BN256_G1, ck, min(log_n, 16)) if scope == "full" else 0.0
+    _stage("ntt: start")
     try:
         ntt_rate = bench_ntt(log_n)
     except Exception:
@@ -202,7 +220,9 @@ def main():
             ivc_k = max(ivc_k, 18)  # the 3-W-commitment SFC needs 2^18 rows
             key_k = max(ivc_k + 4, key_k)
         base = BASELINES[step_kind]
+        _stage(f"ivc: start k={ivc_k} key_k={key_k} step={step_kind}")
         ivc = bench_cyclefold_ivc(ivc_k, key_k, step_kind)
+        _stage("ivc done")
         out.update({f"ivc_{k}": round(v, 2) for k, v in ivc.items()})
         out.update(
             {
