@@ -672,6 +672,49 @@ def best_msm(curve: Curve, scalars_std: jnp.ndarray, points: Points,
     return msm_host(curve, scalars_std, points, WINDOW_BITS)
 
 
+_SHARDED_COMPILED: dict = {}
+
+
+def _sharded_kernel(curve: Curve, c: int, G: int, mixed: bool, mesh):
+    """Jitted shard_map bucket kernel, cached per (curve, window, groups,
+    add-variant, mesh).  Without this cache every commit re-traced a fresh
+    closure — a ~30 s XLA compile per call on an 8-device CPU mesh, which
+    both dominated wall time and starved executing device threads into the
+    40 s collective-rendezvous timeout."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.mesh import ROWS_AXIS
+
+    key = (curve, c, G, mixed, mesh)
+    fn = _SHARDED_COMPILED.get(key)
+    if fn is not None:
+        return fn
+
+    def per_device(dg, px, py, pz):
+        totals = (
+            _bucket_totals_onehot(curve, c, G, mixed, dg, None, Points(px, py, pz))
+            if c <= 5
+            else _bucket_totals(curve, c, G, dg, Points(px, py, pz))
+        )
+        # (W, L) per device -> stack under a leading device-local axis of 1
+        return totals.x[None], totals.y[None], totals.z[None]
+
+    fn = jax.jit(
+        shard_map(
+            per_device,
+            mesh=mesh,
+            in_specs=(P(None, ROWS_AXIS), P(ROWS_AXIS), P(ROWS_AXIS), P(ROWS_AXIS)),
+            out_specs=(P(ROWS_AXIS), P(ROWS_AXIS), P(ROWS_AXIS)),
+            # loop carries start as unsharded constants (bucket tables of
+            # identities); skip the varying-manual-axes check
+            check_vma=False,
+        )
+    )
+    _SHARDED_COMPILED[key] = fn
+    return fn
+
+
 def msm_sharded(
     curve: Curve,
     scalars_std: jnp.ndarray,
@@ -689,11 +732,8 @@ def msm_sharded(
 
     Returns a host gold.AffinePoint.
     """
-    from jax import shard_map
-    from jax.sharding import PartitionSpec as P
-
     from ..fields import gold
-    from ..parallel.mesh import ROWS_AXIS, shard_rows
+    from ..parallel.mesh import shard_rows
 
     n = scalars_std.shape[0]
     c = window_bits
@@ -714,28 +754,8 @@ def msm_sharded(
     points = Points(*(shard_rows(mesh, pc, axis=0) for pc in points))
 
     mixed = assume_distinct and c <= 5
-    impl = _bucket_totals_onehot if c <= 5 else _bucket_totals
-
-    def per_device(dg, px, py, pz):
-        totals = (
-            impl(curve, c, G, mixed, dg, None, Points(px, py, pz))
-            if c <= 5
-            else impl(curve, c, G, dg, Points(px, py, pz))
-        )
-        # (W, L) per device -> stack under a leading device-local axis of 1
-        return totals.x[None], totals.y[None], totals.z[None]
-
-    tx, ty, tz = jax.jit(
-        shard_map(
-            per_device,
-            mesh=mesh,
-            in_specs=(P(None, ROWS_AXIS), P(ROWS_AXIS), P(ROWS_AXIS), P(ROWS_AXIS)),
-            out_specs=(P(ROWS_AXIS), P(ROWS_AXIS), P(ROWS_AXIS)),
-            # loop carries start as unsharded constants (bucket tables of
-            # identities); skip the varying-manual-axes check
-            check_vma=False,
-        )
-    )(digits, points.x, points.y, points.z)
+    kern = _sharded_kernel(curve, c, G, mixed, mesh)
+    tx, ty, tz = kern(digits, points.x, points.y, points.z)
     # (D, W) Jacobian totals -> host combine
     per_dev = curve.decode(Points(tx.reshape(-1, tx.shape[-1]),
                                   ty.reshape(-1, ty.shape[-1]),
