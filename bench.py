@@ -13,20 +13,32 @@ Sub-metrics: ivc_new_s / ivc_verify_s, MSM points/s at 2^20 (BASELINE.json
 target metric, ~1.5e6 pts/s baseline), NTT elems/s, and the native C++
 Pippenger for cross-checking.
 
+Budget discipline: the driver kills the bench at a hard wall-clock limit, so
+every stage is gated on a deadline (SIRIUS_TPU_BENCH_BUDGET_S, default 1450 s)
+and the best-so-far JSON line is ALWAYS printed — a cold-cache run that only
+finishes the MSM still reports the MSM metric instead of nothing.
+
 Scope control (driver runs the default full set):
   SIRIUS_TPU_BENCH_SCOPE=msm   kernels only (fast)
-  SIRIUS_TPU_BENCH_K           primary circuit k (default 20, matching the
-                               reference bench config)
+  SIRIUS_TPU_BENCH_K           primary circuit k (default 17; the reference
+                               cyclefold report rows are k=20)
+  SIRIUS_TPU_BENCH_BUDGET_S    wall-clock budget in seconds
 """
 
 from __future__ import annotations
 
 import json
 import os
+import signal
 import sys
 import time
 
 _T0 = time.time()
+_BUDGET = float(os.environ.get("SIRIUS_TPU_BENCH_BUDGET_S", "1600"))
+
+
+def _remaining() -> float:
+    return _BUDGET - (time.time() - _T0)
 
 
 def _stage(msg: str) -> None:
@@ -52,27 +64,26 @@ BASELINES = {
 BASELINE_TRIVIAL = BASELINES["trivial"]
 
 
-def bench_msm(curve, log_n: int):
+class BudgetExceeded(Exception):
+    pass
+
+
+def bench_msm(curve, log_n: int, ck):
     """MSM points/s at 2^log_n on the default commit path (gold-checked)."""
     from sirius_tpu.fields import gold
-    from sirius_tpu.ops.commitment import CommitmentKey
     from sirius_tpu.ops.msm import best_msm
     from sirius_tpu.curves.jpoint import Points
 
     n = 1 << log_n
-    _stage(f"msm: key setup 2^{log_n}")
-    ck = CommitmentKey.setup(curve, log_n, b"bench", use_cache=True)
-    _stage("msm: key ready; gold spot-check")
     # Vectorized scalar generation: 16x16-bit limbs with the top 4 bits of
     # the high limb cleared -> uniform over [0, 2^252) < p, no bigint mod.
-    # (The old per-element Python bigint loop took minutes at 2^20.)
     rng = np.random.default_rng(42)
     limbs = rng.integers(0, 1 << 16, size=(n, 16), dtype=np.uint32)
     limbs[:, 15] &= 0x0FFF
     arr = jnp.asarray(limbs)
 
     # correctness spot-check vs the gold model on a small prefix
-    m = 256
+    m = 64
     scalars_m = [
         sum(int(v) << (16 * i) for i, v in enumerate(row)) for row in limbs[:m]
     ]
@@ -84,12 +95,13 @@ def bench_msm(curve, log_n: int):
     assert got == want, "MSM kernel disagrees with gold model"
 
     _stage("msm: gold ok; compile+warm full MSM")
-    best_msm(curve, arr, ck.points, assume_distinct=True)  # compile + warm
+    pts = Points(ck.points.x[:n], ck.points.y[:n], ck.points.z[:n])
+    best_msm(curve, arr, pts, assume_distinct=True)  # compile + warm
     _stage("msm: timing")
     t0 = time.time()
-    res = best_msm(curve, arr, ck.points, assume_distinct=True)
+    res = best_msm(curve, arr, pts, assume_distinct=True)
     dt = time.time() - t0
-    return n / dt, ck
+    return n / dt
 
 
 def bench_native(curve, ck, log_n: int):
@@ -143,21 +155,15 @@ def _make_step(kind: str):
     raise ValueError(kind)
 
 
-def bench_cyclefold_ivc(k: int, key_k: int, step_kind: str = "trivial"):
+def bench_cyclefold_ivc(k: int, ck1, ck2, step_kind: str = "trivial"):
     """Cyclefold IVC with REAL commitment keys: pp/new/next/verify
     wall-clock (the BASELINE.md workloads; step_kind picks the row)."""
-    from sirius_tpu.curves.jpoint import BN256_G1, GRUMPKIN
-    from sirius_tpu.ivc.cyclefold_ivc import SUPPORT_K, CyclefoldIVC, CyclefoldPublicParams
-    from sirius_tpu.ops.commitment import CommitmentKey
-
-    t0 = time.time()
-    ck1 = CommitmentKey.setup(BN256_G1, key_k, b"bench-primary", use_cache=True)
-    ck2 = CommitmentKey.setup(GRUMPKIN, SUPPORT_K + 3, b"bench-support", use_cache=True)
-    key_s = time.time() - t0
+    from sirius_tpu.ivc.cyclefold_ivc import CyclefoldIVC, CyclefoldPublicParams
 
     t0 = time.time()
     pp = CyclefoldPublicParams(_make_step(step_kind), k=k, ck_primary=ck1, ck_support=ck2)
     pp_s = time.time() - t0
+    _stage(f"ivc: pp built in {pp_s:.1f}s; warmup fold")
 
     # criterion-style warmup (the reference bench also runs warmup
     # iterations): compile every program shape once on a throwaway IVC, then
@@ -166,6 +172,7 @@ def bench_cyclefold_ivc(k: int, key_k: int, step_kind: str = "trivial"):
     warm.next()
     errors = warm.verify()
     assert not errors, errors
+    _stage("ivc: warm; measuring steady-state")
 
     t0 = time.time()
     ivc = CyclefoldIVC(pp, [0x42])
@@ -179,11 +186,13 @@ def bench_cyclefold_ivc(k: int, key_k: int, step_kind: str = "trivial"):
     errors = ivc.verify()
     verify_s = time.time() - t0
     assert not errors, errors
-    return {"key_s": key_s, "pp_s": pp_s, "new_s": new_s, "next_s": next_s, "verify_s": verify_s}
+    return {"pp_s": pp_s, "new_s": new_s, "next_s": next_s, "verify_s": verify_s}
 
 
 def main():
-    from sirius_tpu.curves.jpoint import BN256_G1
+    from sirius_tpu.curves.jpoint import BN256_G1, GRUMPKIN
+    from sirius_tpu.ivc.cyclefold_ivc import SUPPORT_K
+    from sirius_tpu.ops.commitment import CommitmentKey
 
     backend = jax.default_backend()
     on_tpu = backend != "cpu"
@@ -194,57 +203,98 @@ def main():
     # k=20 — set SIRIUS_TPU_BENCH_K=20 for the full-scale run (first compile
     # of the k=20 graphs through the remote-compile tunnel is slow)
     ivc_k = int(os.environ.get("SIRIUS_TPU_BENCH_K", "17" if on_tpu else "8"))
-    key_k = max(ivc_k + 3, 14)
+    key_k = max(ivc_k + 3, 14, log_n)
+    step_kind = os.environ.get("SIRIUS_TPU_BENCH_STEP", "trivial")
+    if step_kind == "sha256":
+        ivc_k = max(ivc_k, 18)  # the 3-W-commitment SFC needs 2^18 rows
+        key_k = max(ivc_k + 4, key_k)
 
-    msm_pts, ck = bench_msm(BN256_G1, log_n)
-    _stage(f"msm done: {msm_pts:.0f} pts/s")
-    native_pts = bench_native(BN256_G1, ck, min(log_n, 16)) if scope == "full" else 0.0
-    _stage("ntt: start")
+    out: dict = {"backend": backend, "budget_s": _BUDGET}
+
+    def flush_best():
+        """Emit the best-so-far metric line exactly once."""
+        if "metric" not in out:
+            if "ivc_next_s" in out:
+                base = BASELINES[step_kind]
+                out.update(
+                    {
+                        "metric": f"cyclefold_{step_kind}_k{ivc_k}_ivc_next_s",
+                        "value": out["ivc_next_s"],
+                        "unit": "s",
+                        "vs_baseline": round(base["next"] / out["ivc_next_s"], 4),
+                        "ivc_new_vs_baseline": round(base["new"] / out["ivc_new_s"], 4),
+                        "ivc_verify_vs_baseline": round(
+                            base["verify"] / out["ivc_verify_s"], 4
+                        ),
+                        "baseline": "EPYC 7702 64c, docs/cyclefold_report.md:171-195 (k=20, 2^23-2^24 keys)",
+                    }
+                )
+            elif "msm_points_per_sec" in out:
+                out.update(
+                    {
+                        "metric": f"commit_msm_points_per_sec_2^{log_n}",
+                        "value": out["msm_points_per_sec"],
+                        "unit": "points/s",
+                        "vs_baseline": out.get("msm_vs_baseline", 0.0),
+                    }
+                )
+            else:
+                out.update({"metric": "bench_incomplete", "value": 0.0, "unit": "", "vs_baseline": 0.0})
+        print(json.dumps(out), flush=True)
+
+    # the budget alarm unwinds whatever stage is running; partial results
+    # already in `out` still get reported
+    def on_alarm(signum, frame):
+        raise BudgetExceeded()
+
+    signal.signal(signal.SIGALRM, on_alarm)
+    signal.alarm(max(int(_remaining()), 1))
+
     try:
-        ntt_rate = bench_ntt(log_n)
-    except Exception:
-        ntt_rate = 0.0
+        # ---- keys (shared between the MSM bench and the IVC primary) ----
+        _stage(f"keys: primary 2^{key_k} + support 2^{SUPPORT_K + 3}")
+        ck1 = CommitmentKey.setup(BN256_G1, key_k, b"bench-primary", use_cache=True)
+        ck2 = CommitmentKey.setup(GRUMPKIN, SUPPORT_K + 3, b"bench-support", use_cache=True)
+        out["key_s"] = round(time.time() - _T0, 1)
 
-    out = {
-        "msm_points_per_sec": round(msm_pts, 1),
-        "msm_log_n": log_n,
-        "msm_vs_baseline": round(msm_pts / BASELINE_MSM_POINTS_PER_SEC, 4),
-        "native_points_per_sec": round(native_pts, 1),
-        "ntt_elems_per_sec": round(ntt_rate, 1),
-        "backend": backend,
-    }
+        # ---- IVC wall-clock (headline; BASELINE.md rows) ----
+        if scope == "full" and on_tpu and _remaining() > 120:
+            _stage(f"ivc: start k={ivc_k} key_k={key_k} step={step_kind}")
+            ivc = bench_cyclefold_ivc(ivc_k, ck1, ck2, step_kind)
+            out.update({f"ivc_{k}": round(v, 2) for k, v in ivc.items()})
+            _stage(f"ivc done; remaining {_remaining():.0f}s")
 
-    if scope == "full" and on_tpu:
-        step_kind = os.environ.get("SIRIUS_TPU_BENCH_STEP", "trivial")
-        if step_kind == "sha256":
-            ivc_k = max(ivc_k, 18)  # the 3-W-commitment SFC needs 2^18 rows
-            key_k = max(ivc_k + 4, key_k)
-        base = BASELINES[step_kind]
-        _stage(f"ivc: start k={ivc_k} key_k={key_k} step={step_kind}")
-        ivc = bench_cyclefold_ivc(ivc_k, key_k, step_kind)
-        _stage("ivc done")
-        out.update({f"ivc_{k}": round(v, 2) for k, v in ivc.items()})
-        out.update(
-            {
-                "metric": f"cyclefold_{step_kind}_k{ivc_k}_ivc_next_s",
-                "value": round(ivc["next_s"], 2),
-                "unit": "s",
-                "vs_baseline": round(base["next"] / ivc["next_s"], 4),
-                "ivc_new_vs_baseline": round(base["new"] / ivc["new_s"], 4),
-                "ivc_verify_vs_baseline": round(base["verify"] / ivc["verify_s"], 4),
-                "baseline": "EPYC 7702 64c, docs/cyclefold_report.md:171-195 (k=20, 2^23-2^24 keys)",
-            }
-        )
-    else:
-        out.update(
-            {
-                "metric": f"commit_msm_points_per_sec_2^{log_n}",
-                "value": round(msm_pts, 1),
-                "unit": "points/s",
-                "vs_baseline": round(msm_pts / BASELINE_MSM_POINTS_PER_SEC, 4),
-            }
-        )
-    print(json.dumps(out))
+        # ---- MSM (BASELINE.json kernel metric), time permitting ----
+        if _remaining() > 120:
+            _stage(f"msm: start 2^{log_n}")
+            msm_pts = bench_msm(BN256_G1, log_n, ck1)
+            out.update(
+                {
+                    "msm_points_per_sec": round(msm_pts, 1),
+                    "msm_log_n": log_n,
+                    "msm_vs_baseline": round(msm_pts / BASELINE_MSM_POINTS_PER_SEC, 4),
+                }
+            )
+            _stage(f"msm done: {msm_pts:.0f} pts/s; remaining {_remaining():.0f}s")
+
+        # ---- secondary kernels, time permitting ----
+        if _remaining() > 90:
+            _stage("ntt: start")
+            try:
+                out["ntt_elems_per_sec"] = round(bench_ntt(log_n), 1)
+            except Exception:
+                out["ntt_elems_per_sec"] = 0.0
+        if scope == "full" and _remaining() > 120:
+            _stage("native msm: start")
+            out["native_points_per_sec"] = round(
+                bench_native(BN256_G1, ck1, min(log_n, 16)), 1
+            )
+    except BudgetExceeded:
+        _stage("budget exceeded; flushing partial results")
+        out["budget_exceeded"] = True
+    finally:
+        signal.alarm(0)
+        flush_best()
 
 
 if __name__ == "__main__":

@@ -132,9 +132,59 @@ def hash_bytes_to_point(curve: CurveSpec, uniform: bytes) -> AffinePoint:
 # ---------------------------------------------------------------------------
 # Device-batched SVDW (bit-identical to the host map above) — key setup for
 # 2^20+ generators runs as a few hundred batched field ops instead of
-# millions of host modpows.  Requires p = 3 (mod 4) (sqrt = a^((p+1)/4);
-# true for the bn256 base field); other fields use the host path.
+# millions of host modpows.  Program-size discipline (the axon remote
+# compiler charges minutes per big program): pow-chain inversions instead of
+# associative-scan batch_inv (each scan stage is a distinct fused kernel),
+# ONE stacked sqrt over all three SVDW x-candidates instead of two Legendre
+# towers + a sqrt, and both halves of the 64-byte input mapped in one call.
+# p = 3 (mod 4) uses sqrt = a^((p+1)/4); p = 1 (mod 4) (grumpkin's base
+# field = bn256 Fr, 2-adicity 28) uses a constant-iteration Tonelli–Shanks.
 # ---------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=None)
+def _ts_constants(p: int) -> tuple[int, int, int]:
+    """(S, Q, z) with p-1 = Q·2^S, Q odd, z the smallest quadratic
+    non-residue — the classic Tonelli–Shanks parameters."""
+    S, Q = 0, p - 1
+    while Q % 2 == 0:
+        S += 1
+        Q //= 2
+    z = 2
+    while _is_square(z, p):
+        z += 1
+    return S, Q, z
+
+
+def _sqrt_device(f, a):
+    """Batched deterministic sqrt *attempt*: returns y with y*y == a iff a is
+    a quadratic residue (callers test y^2 == a instead of running a separate
+    Legendre tower; for non-residues y is an unspecified field element).
+    Matches host `_tonelli` up to sign — SVDW's sgn0 parity fix makes the
+    final y bit-identical either way."""
+    import jax
+
+    p = f.p
+    if p % 4 == 3:
+        return f.pow_int(a, (p + 1) // 4)
+    # constant-iteration Tonelli–Shanks (p = 1 mod 4)
+    S, Q, z = _ts_constants(p)
+    shape = a.shape[:-1]
+    one = f.ones(shape)
+    c = f.const(pow(z, Q, p), shape)  # generator of the 2-Sylow subgroup
+    t = f.pow_int(a, Q)
+    R = f.pow_int(a, (Q + 1) // 2)
+    for i in range(S - 1, 0, -1):
+        # b = t^(2^(i-1)) is ±1 when a is a QR (inductively ord(t) | 2^i)
+        if i - 1 > 0:
+            b = jax.lax.fori_loop(0, i - 1, lambda _, v: f.square(v), t)
+        else:
+            b = t
+        flag = ~f.eq(b, one)  # b == -1: fold c into the root
+        R = f.select(flag, f.mul(R, c), R)
+        c = f.square(c)
+        t = f.select(flag, f.mul(t, c), t)
+    return R
 
 
 def svdw_map_device(jcurve, u_std):
@@ -151,42 +201,43 @@ def svdw_map_device(jcurve, u_std):
     spec = jcurve.spec
     f = jcurve.fb
     p = f.p
-    assert p % 4 == 3, "device SVDW requires p = 3 (mod 4)"
     assert spec.a == 0
     Z, c1, c2, c3, c4 = _svdw_constants(spec)
 
     n = u_std.shape[0]
     u = f.to_mont(u_std)  # mont(u mod p)
-    B = f.const(spec.b, (n,))
 
     def g(x):
-        return f.add(f.mul(f.square(x), x), B)
-
-    def legendre_is_square(a):
-        leg = f.pow_int(a, (p - 1) // 2)
-        return f.eq(leg, f.ones((n,))) | f.is_zero(a)
+        return f.add(f.mul(f.square(x), x), f.const(spec.b, x.shape[:-1]))
 
     one = f.ones((n,))
     tv1 = f.mul(f.square(u), f.const(c1, (n,)))
     tv2 = f.add(one, tv1)
     tv1 = f.sub(one, tv1)
     prod = f.mul(tv1, tv2)
-    tv3 = f.batch_inv(prod, axis=0)
+    tv3 = f.pow_int(prod, p - 2)  # inv0 (0 -> 0), one pow chain
     tv4 = f.mul(f.mul(f.mul(u, tv1), tv3), f.const(c3, (n,)))
     x1 = f.sub(f.const(c2, (n,)), tv4)
-    gx1 = g(x1)
     x2 = f.add(f.const(c2, (n,)), tv4)
-    gx2 = g(x2)
     x3 = f.add(
         f.mul(f.square(f.mul(f.square(tv2), tv3)), f.const(c4, (n,))),
         f.const(Z, (n,)),
     )
 
-    sq1 = legendre_is_square(gx1)
-    sq2 = legendre_is_square(gx2)
+    # one sqrt program over all three candidates; y_i^2 == g(x_i) doubles as
+    # the quadratic-residue test (SVDW guarantees at least one x_i works)
+    xs = jnp.concatenate([x1, x2, x3], axis=0)
+    gxs = g(xs)
+    ys = _sqrt_device(f, gxs)
+    is_sq = f.eq(f.square(ys), gxs)
+    sq1, sq2 = is_sq[:n] | f.is_zero(gxs[:n]), is_sq[n : 2 * n] | f.is_zero(
+        gxs[n : 2 * n]
+    )
     x = f.select(sq1, x1, f.select(sq2, x2, x3))
-    gx = g(x)
-    y = f.pow_int(gx, (p + 1) // 4)  # sqrt (p = 3 mod 4)
+    y = f.select(sq1, ys[:n], f.select(sq2, ys[n : 2 * n], ys[2 * n :]))
+    # zero-residue candidates: y from the sqrt attempt may be garbage for
+    # gx == 0 under Tonelli–Shanks; force y = 0 to match the host map
+    y = f.select(f.is_zero(g(x)), f.zeros((n,)), y)
 
     # sgn0 tie-break: parity of y must equal parity of (u mod p)
     y_std = f.from_mont(y)
@@ -196,9 +247,17 @@ def svdw_map_device(jcurve, u_std):
     return Points(x, y, f.ones((n,)))
 
 
+_HB2P_COMPILED: dict = {}
+
+
 def hash_bytes_to_points_device(jcurve, uniform: bytes):
     """Batched hash_bytes_to_point: len(uniform) = 64*n bytes -> n affine
-    device Points (z = 1 Montgomery), bit-identical to the host map."""
+    device Points (z = 1 Montgomery), bit-identical to the host map.
+
+    The jitted program is cached per (curve, n): key setup slices the XOF
+    stream into fixed-size chunks, and a fresh `jax.jit` per chunk meant one
+    ~45 s XLA compile per chunk (~12 min for a 2^20 key over the TPU tunnel).
+    """
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -212,13 +271,22 @@ def hash_bytes_to_points_device(jcurve, uniform: bytes):
     u0 = jnp.asarray(raw[:, :16].astype(np.uint32))
     u1 = jnp.asarray(raw[:, 16:].astype(np.uint32))
 
-    def run(u0, u1):
-        P0 = svdw_map_device(jcurve, u0)
-        P1 = svdw_map_device(jcurve, u1)
-        S = jcurve.add(P0, P1)
-        # normalize to z = 1: (x/z^2, y/z^3)
-        zinv = f.batch_inv(S.z, axis=0)
-        zi2 = f.square(zinv)
-        return Points(f.mul(S.x, zi2), f.mul(S.y, f.mul(zi2, zinv)), f.ones((n,)))
+    key = (jcurve.spec.name, n)
+    fn = _HB2P_COMPILED.get(key)
+    if fn is None:
 
-    return jax.jit(run)(u0, u1)
+        def run(u0, u1):
+            # one stacked map call for both halves (one sqrt program, not two)
+            P = svdw_map_device(jcurve, jnp.concatenate([u0, u1], axis=0))
+            P0 = Points(P.x[:n], P.y[:n], P.z[:n])
+            P1 = Points(P.x[n:], P.y[n:], P.z[n:])
+            S = jcurve.add(P0, P1)
+            # normalize to z = 1: (x/z^2, y/z^3); pow-chain inverse keeps the
+            # program free of associative-scan stages (compile size)
+            zinv = f.pow_int(S.z, f.p - 2)
+            zi2 = f.square(zinv)
+            return Points(f.mul(S.x, zi2), f.mul(S.y, f.mul(zi2, zinv)), f.ones((n,)))
+
+        fn = jax.jit(run)
+        _HB2P_COMPILED[key] = fn
+    return fn(u0, u1)

@@ -68,9 +68,10 @@ class CommitmentKey:
 
         xof = hashlib.shake_256(label)
         stream = xof.digest(64 * n)
-        if n >= 4096 and curve.spec.base.modulus % 4 == 3:
-            # device-batched SVDW (bit-identical to the host map); chunked to
-            # bound peak memory at reference-scale keys (2^23+)
+        if n >= 4096:
+            # device-batched SVDW (bit-identical to the host map; both
+            # p mod 4 cases — constant-iteration Tonelli–Shanks for p = 1);
+            # chunked to bound peak memory at reference-scale keys (2^23+)
             from ..curves.hash_to_curve import hash_bytes_to_points_device
 
             # fixed chunk size: every key size shares ONE compiled SVDW
