@@ -211,8 +211,13 @@ def main():
 
     out: dict = {"backend": backend, "budget_s": _BUDGET}
 
+    flushed = []
+
     def flush_best():
         """Emit the best-so-far metric line exactly once."""
+        if flushed:
+            return
+        flushed.append(True)
         if "metric" not in out:
             if "ivc_next_s" in out:
                 base = BASELINES[step_kind]
@@ -248,7 +253,24 @@ def main():
         raise BudgetExceeded()
 
     signal.signal(signal.SIGALRM, on_alarm)
-    signal.alarm(max(int(_remaining()), 1))
+    signal.alarm(max(int(_remaining()) - 90, 1))
+
+    # Python signals only fire between bytecodes — a 20-minute C-level
+    # remote compile swallows SIGALRM until it returns, which is after the
+    # driver's hard kill.  Long compiles release the GIL, so a daemon thread
+    # CAN flush the best-so-far line and exit the process at the deadline.
+    import threading
+
+    def watchdog():
+        time.sleep(max(_remaining(), 1))
+        _stage("watchdog: budget wall hit mid-stage; flushing")
+        out["budget_exceeded"] = "watchdog"
+        flush_best()
+        sys.stdout.flush()
+        sys.stderr.flush()
+        os._exit(0)
+
+    threading.Thread(target=watchdog, daemon=True).start()
 
     try:
         # ---- keys (shared between the MSM bench and the IVC primary) ----

@@ -11,6 +11,7 @@ from __future__ import annotations
 import hashlib
 import os
 from dataclasses import dataclass
+from functools import lru_cache
 
 import jax
 import jax.numpy as jnp
@@ -27,6 +28,29 @@ from ..fields.limb import ints_to_limbs
 from ..ops import msm as msm_ops
 
 CACHE_DIR = os.environ.get("SIRIUS_TPU_CACHE", os.path.expanduser("~/.cache/sirius_tpu"))
+
+
+def _pack_words(limbs: np.ndarray) -> np.ndarray:
+    """(n, 16) uint32 16-bit limbs -> (n, 8) uint32 32-bit words."""
+    lo = limbs[:, 0::2].astype(np.uint32)
+    hi = limbs[:, 1::2].astype(np.uint32)
+    return lo | (hi << 16)
+
+
+@lru_cache(maxsize=None)
+def _unpack_words_jit(n: int):
+    """(n, 8) words -> (n, 16) limbs on device (one tiny cached program)."""
+    import jax
+
+    def run(xw, yw):
+        def unpack(w):
+            lo = w & jnp.uint32(0xFFFF)
+            hi = w >> 16
+            return jnp.stack([lo, hi], axis=-1).reshape(w.shape[0], 16)
+
+        return unpack(xw), unpack(yw)
+
+    return jax.jit(run)
 
 
 class CommitmentError(Exception):
@@ -61,9 +85,18 @@ class CommitmentKey:
         )
         if use_cache and os.path.exists(cache_file):
             data = np.load(cache_file)
-            pts = Points(
-                jnp.asarray(data["x"]), jnp.asarray(data["y"]), jnp.asarray(data["z"])
-            )
+            if "xw" in data:
+                # packed format: (n, 8) uint32 words per Montgomery coord,
+                # z = 1 implied — 1/3 the bytes of (n, 16)x3 limb arrays,
+                # which matters for load + tunnel transfer of 2^20+ keys
+                xw, yw = jnp.asarray(data["xw"]), jnp.asarray(data["yw"])
+                ux, uy = _unpack_words_jit(xw.shape[0])(xw, yw)
+                f = curve.fb
+                pts = Points(ux, uy, f.ones((xw.shape[0],)))
+            else:  # legacy limb-array caches
+                pts = Points(
+                    jnp.asarray(data["x"]), jnp.asarray(data["y"]), jnp.asarray(data["z"])
+                )
             return CommitmentKey(curve, pts, label, k, window_bits)
 
         xof = hashlib.shake_256(label)
@@ -92,9 +125,8 @@ class CommitmentKey:
             os.makedirs(CACHE_DIR, exist_ok=True)
             np.savez(
                 cache_file,
-                x=np.asarray(pts.x),
-                y=np.asarray(pts.y),
-                z=np.asarray(pts.z),
+                xw=_pack_words(np.asarray(pts.x)),
+                yw=_pack_words(np.asarray(pts.y)),
             )
         return CommitmentKey(curve, pts, label, k, window_bits)
 

@@ -49,6 +49,7 @@ SUBL = 8  # windows per grid cell (sublane axis)
 
 def _msm_table_kernel(f, B: int, TS: int, n_steps: int,
                       digits_ref, px_ref, py_ref,
+                      sx_ref, sy_ref, sz_ref,
                       ox_ref, oy_ref, oz_ref,
                       tx, ty, tz):
     """One grid cell = ONE window x 1024 groups: accumulate TS point-tiles
@@ -56,17 +57,24 @@ def _msm_table_kernel(f, B: int, TS: int, n_steps: int,
     on LEADING (untiled) dims — dynamic sublane slicing measurably wrecks
     Mosaic codegen (the first layout, windows on sublanes, ran 7x below the
     madd roofline because every operand load was a dynamic sublane gather).
-    Array-limb form (ops/limb_kernels.py): values are (L, ...) arrays."""
+    Array-limb form (ops/limb_kernels.py): values are (L, ...) arrays.
+
+    The table is SEEDED from sx/sy/sz — the previous chunk's table (or zeros
+    for the first chunk: z == 0 rows are identities for `k_madd_incomplete`
+    and every downstream add, y never consulted).  Threading the raw table
+    through HBM between fixed-size chunks lets one Mosaic compile serve all
+    commitment sizes while the expensive 1024->1 group merge runs only once
+    per MSM instead of once per chunk (the per-chunk merge cost 34% of a
+    2^20 MSM)."""
     from .limb_kernels import k_madd_incomplete
 
     ts_idx = pl.program_id(1)
 
     @pl.when(ts_idx == 0)
     def _init():
-        zero = jnp.zeros((L, B, SUBL, LANE), jnp.uint32)
-        tx[...] = zero
-        tz[...] = zero
-        ty[...] = f.one_arr((B, SUBL, LANE))
+        tx[...] = sx_ref[0]
+        ty[...] = sy_ref[0]
+        tz[...] = sz_ref[0]
 
     iota_b = jax.lax.broadcasted_iota(jnp.uint32, (B, SUBL, LANE), 0) + 1
 
@@ -140,7 +148,13 @@ def _table_call(curve: Curve, B: int, W: int, g: int, TS: int, interpret: bool =
             pl.BlockSpec((1, TS, SUBL, LANE), lambda w, ts: (w, ts, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((L, TS, SUBL, LANE), lambda w, ts: (0, ts, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((L, TS, SUBL, LANE), lambda w, ts: (0, ts, 0, 0), memory_space=pltpu.VMEM),
-        ],
+        ]
+        + [
+            pl.BlockSpec(
+                (1, L, B, SUBL, LANE), lambda w, ts: (w, 0, 0, 0, 0), memory_space=pltpu.VMEM
+            )
+        ]
+        * 3,
         out_specs=[
             pl.BlockSpec((1, L, B, SUBL, LANE), lambda w, ts: (w, 0, 0, 0, 0), memory_space=pltpu.VMEM)
         ] * 3,
@@ -212,104 +226,132 @@ def _merge_call(curve: Curve, WB: int, interpret: bool = False):
     )
 
 
-def _msm_fused_vmem(curve: Curve, c: int, W_real: int, g: int, TS: int,
-                    interpret: bool,
-                    scalars_std: jnp.ndarray, px: jnp.ndarray, py: jnp.ndarray):
-    """Traced end-to-end MSM: digits -> table kernel -> merge -> Horner.
-
-    scalars_std: (n, L) standard-form limbs; px/py: (n, L) Montgomery affine
-    coordinates (z = 1 implied).  Returns standard-form (3, L) Jacobian.
-    """
-    n = scalars_std.shape[0]
-    B = 1 << (c - 1)
-    mags, negs = _extract_digits_signed(scalars_std, c)  # (W_real, n)
-    packed = mags | (negs.astype(jnp.uint32) << 31)
-    # (W, n) -> (W, g, 8, 128); point i = (step i//1024, sub i//128%8, lane i%128)
-    digits = packed.reshape(W_real, g, SUBL, LANE)
-    pxl = jnp.transpose(px, (1, 0)).reshape(L, g, SUBL, LANE)
-    pyl = jnp.transpose(py, (1, 0)).reshape(L, g, SUBL, LANE)
-
-    otx, oty, otz = _table_call(curve, B, W_real, g, TS, interpret)(digits, pxl, pyl)
-
-    # --- group-merge tree (1024 -> 1 per window/bucket).  Three generations
-    # of this code: per-limb lists OOM'd the XLA compiler (~500k-op graphs);
-    # per-level Pallas kernels ran fast but cost ~33 s of TRACING per cold
-    # MSM shape; plain-XLA array-limb levels traced in ~2 s but ran 8x slow
-    # (every CIOS concatenate breaks fusion -> HBM round trips, 0.9 s of the
-    # 1.27 s 2^20 MSM).  Final form: ONE Pallas kernel does every level in
-    # VMEM (array-limb body keeps the trace ~30k ops), grid over lane
-    # blocks; zero HBM intermediates.
-    from .limb_kernels import KF, k_add_complete
-
-    kf = KF(curve.fb)
-    WB = W_real * B
-
-    def to_flat(a):  # (W, L, B, 8, 128) -> (L, 1024, WB)
-        return jnp.transpose(a, (1, 3, 4, 0, 2)).reshape(L, GROUPS, WB)
-
-    cur = tuple(to_flat(a) for a in (otx, oty, otz))
-    if WB % LANE == 0:
-        mx, my, mz = _merge_call(curve, WB, interpret)(*cur)
-        cur = (mx, my, mz)
-    else:  # XLA fallback for widths that don't tile into lanes
-        n_grp = GROUPS
-        while n_grp > 1:
-            h = n_grp // 2
-            lo = tuple(a[:, :h] for a in cur)
-            hi = tuple(a[:, h:n_grp] for a in cur)
-            cur = tuple(k_add_complete(kf, lo, hi))
-            n_grp = h
-
-    def to_pts(a):  # (L, 1, WB) -> (W, B, L)
-        return jnp.transpose(a[:, 0], (1, 0)).reshape(W_real, B, L)
-
-    buckets = Points(*(to_pts(a) for a in cur))  # (W, B, L)
-
-    # suffix-of-suffix = sum_v v * B_v per window
-    bsteps = max((B - 1).bit_length(), 1)
-    identWB = curve.identity((W_real, B))
-
-    def suf_body(j, Pc):
-        shift = jnp.int32(1) << j
-        Pnext = _roll_fill(Pc, identWB, shift, axis=1, forward=False)
-        return curve.add(Pc, Pnext)
-
-    suffix = jax.lax.fori_loop(0, bsteps, suf_body, buckets)
-    total_scan = jax.lax.fori_loop(0, bsteps, suf_body, suffix)
-    totals = Points(total_scan.x[:, 0], total_scan.y[:, 0], total_scan.z[:, 0])
-
-    def at(i):
-        return Points(*(jax.lax.dynamic_index_in_dim(tc, i, keepdims=False) for tc in totals))
-
-    def horner(i, acc):
-        w = W_real - 2 - i
-        for _ in range(c):
-            acc = curve.dbl(acc)
-        return curve.add(acc, at(w))
-
-    acc = jax.lax.fori_loop(0, W_real - 1, horner, at(W_real - 1))
-    fm = curve.fb.from_mont
-    return jnp.stack([fm(acc.x), fm(acc.y), fm(acc.z)])
+def _window_count(c: int) -> int:
+    return (NUM_LIMBS * LIMB_BITS + c - 1) // c + 1  # + signed carry window
 
 
 @lru_cache(maxsize=None)
-def _msm_fused_vmem_jit(curve: Curve, c: int, W_real: int, g: int, TS: int,
-                        interpret: bool = False):
-    return jax.jit(partial(_msm_fused_vmem, curve, c, W_real, g, TS, interpret))
+def _chunk_accum_jit(curve: Curve, c: int, n_chunk: int, TS: int,
+                     interpret: bool = False):
+    """ONE compiled program per (curve, window, chunk) shape: digits ->
+    seeded VMEM table kernel -> raw (W, L, B, 8, 128) x3 bucket tables.
+
+    Every MSM size reuses this fixed chunk shape (zero-padding for the tail
+    chunk), so the expensive Mosaic compile happens once per process instead
+    of once per commitment size — a cold k=17 fold step used to recompile
+    the fused kernel for each of {primary W, support W, bench} sizes at
+    ~15 min apiece through the remote-compile tunnel.  The raw table threads
+    through HBM as the next chunk's seed (~0.3 ms at HBM bandwidth)."""
+    W_real = _window_count(c)
+    B = 1 << (c - 1)
+    g = n_chunk // GROUPS
+
+    def run(scalars_std, px, py, sx, sy, sz):
+        mags, negs = _extract_digits_signed(scalars_std, c)  # (W_real, n)
+        packed = mags | (negs.astype(jnp.uint32) << 31)
+        digits = packed.reshape(W_real, g, SUBL, LANE)
+        pxl = jnp.transpose(px, (1, 0)).reshape(L, g, SUBL, LANE)
+        pyl = jnp.transpose(py, (1, 0)).reshape(L, g, SUBL, LANE)
+        return _table_call(curve, B, W_real, g, TS, interpret)(
+            digits, pxl, pyl, sx, sy, sz
+        )
+
+    # interpret mode (CPU tests): jitting the Pallas emulation is a
+    # minutes-long XLA compile; run it eagerly instead
+    return run if interpret else jax.jit(run)
+
+
+@lru_cache(maxsize=None)
+def _finish_jit(curve: Curve, c: int, interpret: bool = False):
+    """Table finish, run ONCE per MSM: Pallas 1024->1 group merge, then the
+    suffix-of-suffix (sum_v v*B_v) + Horner window combine; returns
+    standard-form (3, L) Jacobian.
+
+    The group merge runs with the bucket axis padded up to a 128-lane
+    multiple (WB = W*B = 1376 -> 1408 for c=6): the unpadded width used to
+    fall back to 10 UNROLLED XLA halving levels of complete adds — both the
+    dominant compile cost and an HBM-bound tail."""
+    W_real = _window_count(c)
+    B = 1 << (c - 1)
+    WB = W_real * B
+    WBp = ((WB + LANE - 1) // LANE) * LANE
+
+    def run(otx, oty, otz):
+        def to_flat(a):  # (W, L, B, 8, 128) -> (L, 1024, WBp)
+            flat = jnp.transpose(a, (1, 3, 4, 0, 2)).reshape(L, GROUPS, WB)
+            if WBp != WB:
+                # zero-pad: z = 0 columns are identities for the complete
+                # adds inside the merge (y is never read for identities)
+                flat = jnp.pad(flat, ((0, 0), (0, 0), (0, WBp - WB)))
+            return flat
+
+        mx, my, mz = _merge_call(curve, WBp, interpret)(
+            to_flat(otx), to_flat(oty), to_flat(otz)
+        )
+
+        def to_pts(a):  # (L, 1, WBp) -> (W, B, L)
+            return jnp.transpose(a[:, 0, :WB], (1, 0)).reshape(W_real, B, L)
+
+        buckets = Points(to_pts(mx), to_pts(my), to_pts(mz))
+        bsteps = max((B - 1).bit_length(), 1)
+        identWB = curve.identity((W_real, B))
+
+        def suf_body(j, Pc):
+            shift = jnp.int32(1) << j
+            Pnext = _roll_fill(Pc, identWB, shift, axis=1, forward=False)
+            return curve.add(Pc, Pnext)
+
+        suffix = jax.lax.fori_loop(0, bsteps, suf_body, buckets)
+        total_scan = jax.lax.fori_loop(0, bsteps, suf_body, suffix)
+        totals = Points(total_scan.x[:, 0], total_scan.y[:, 0], total_scan.z[:, 0])
+
+        def at(i):
+            return Points(*(jax.lax.dynamic_index_in_dim(tc, i, keepdims=False) for tc in totals))
+
+        def horner(i, acc):
+            w = W_real - 2 - i
+            for _ in range(c):
+                acc = curve.dbl(acc)
+            return curve.add(acc, at(w))
+
+        acc = jax.lax.fori_loop(0, W_real - 1, horner, at(W_real - 1))
+        fm = curve.fb.from_mont
+        return jnp.stack([fm(acc.x), fm(acc.y), fm(acc.z)])
+
+    return run if interpret else jax.jit(run)
+
+
+DEFAULT_CHUNK_LOG = 17
 
 
 def msm_vmem(curve: Curve, scalars_std: jnp.ndarray, points: Points,
-             window_bits: int = 6, step_block: int = 32, interpret: bool = False):
+             window_bits: int = 6, step_block: int = 32, interpret: bool = False,
+             chunk: int | None = None):
     """VMEM-table MSM; points must be affine Montgomery encodings (z = 1,
     distinct, non-identity — the commitment-key contract).  Returns a host
-    gold.AffinePoint."""
+    gold.AffinePoint.
+
+    Inputs are processed in fixed-size chunks (SIRIUS_TPU_MSM_CHUNK_LOG,
+    default 2^17) so every commitment size shares the same compiled
+    programs; the raw bucket table threads through HBM as each chunk's seed
+    and ONE finish program does the group merge + suffix sums + Horner."""
+    import os
+
     from ..fields import gold
     from ..fields.limb import limbs_to_ints
 
     c = window_bits
     n = scalars_std.shape[0]
+    if chunk is None:
+        chunk = 1 << int(os.environ.get("SIRIUS_TPU_MSM_CHUNK_LOG", str(DEFAULT_CHUNK_LOG)))
     blk = GROUPS * step_block
-    pad = (-n) % blk
+    chunk = max(blk, chunk)
+    # ONE chunk shape per curve, period: the Mosaic table-kernel compile is
+    # keyed by its (W, n_steps) grid, so even a 2^15 "small" variant would
+    # recompile the expensive kernel.  Padding a 2^14 commit to a full 2^17
+    # chunk costs tens of ms of VPU time vs minutes of remote compile.
+    size = chunk
+    pad = (-n) % size
     if pad:
         scalars_std = jnp.concatenate(
             [scalars_std, jnp.zeros((pad, scalars_std.shape[1]), scalars_std.dtype)]
@@ -321,12 +363,16 @@ def msm_vmem(curve: Curve, scalars_std: jnp.ndarray, points: Points,
             for pc in points
         ))
         n += pad
-    g = n // GROUPS
-    W_real = (NUM_LIMBS * LIMB_BITS + c - 1) // c + 1  # + signed carry window
 
-    out = _msm_fused_vmem_jit(curve, c, W_real, g, step_block, interpret)(
-        scalars_std, points.x, points.y
-    )
+    W_real = _window_count(c)
+    B = 1 << (c - 1)
+    tbl = [jnp.zeros((W_real, L, B, SUBL, LANE), jnp.uint32)] * 3
+    step = _chunk_accum_jit(curve, c, size, step_block, interpret)
+    for i in range(0, n, size):
+        sl = slice(i, i + size)
+        tbl = step(scalars_std[sl], points.x[sl], points.y[sl], *tbl)
+
+    out = _finish_jit(curve, c, interpret)(*tbl)
     x, y, z = limbs_to_ints(np.asarray(out))
     p = curve.fb.p
     if z % p == 0:
