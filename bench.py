@@ -279,14 +279,10 @@ def main():
         ck2 = CommitmentKey.setup(GRUMPKIN, SUPPORT_K + 3, b"bench-support", use_cache=True)
         out["key_s"] = round(time.time() - _T0, 1)
 
-        # ---- IVC wall-clock (headline; BASELINE.md rows) ----
-        if scope == "full" and on_tpu and _remaining() > 120:
-            _stage(f"ivc: start k={ivc_k} key_k={key_k} step={step_kind}")
-            ivc = bench_cyclefold_ivc(ivc_k, ck1, ck2, step_kind)
-            out.update({f"ivc_{k}": round(v, 2) for k, v in ivc.items()})
-            _stage(f"ivc done; remaining {_remaining():.0f}s")
-
-        # ---- MSM (BASELINE.json kernel metric), time permitting ----
+        # ---- MSM first (BASELINE.json kernel metric): guarantees a valid
+        # metric line even when the IVC stage hits cold-compile walls — warm
+        # it costs ~40 s; cold it is the same Mosaic compile the IVC needs
+        # anyway (the chunked MSM shares one kernel across all sizes) ----
         if _remaining() > 120:
             _stage(f"msm: start 2^{log_n}")
             msm_pts = bench_msm(BN256_G1, log_n, ck1)
@@ -298,6 +294,13 @@ def main():
                 }
             )
             _stage(f"msm done: {msm_pts:.0f} pts/s; remaining {_remaining():.0f}s")
+
+        # ---- IVC wall-clock (headline; BASELINE.md rows) ----
+        if scope == "full" and on_tpu and _remaining() > 120:
+            _stage(f"ivc: start k={ivc_k} key_k={key_k} step={step_kind}")
+            ivc = bench_cyclefold_ivc(ivc_k, ck1, ck2, step_kind)
+            out.update({f"ivc_{k}": round(v, 2) for k, v in ivc.items()})
+            _stage(f"ivc done; remaining {_remaining():.0f}s")
 
         # ---- secondary kernels, time permitting ----
         if _remaining() > 90:

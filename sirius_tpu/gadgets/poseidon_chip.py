@@ -1,22 +1,25 @@
 """On-circuit Poseidon sponge over the MainGate.
 
 Replaces reference `src/poseidon/poseidon_circuit.rs` (SURVEY.md §2.5).
-Verifies the same (unoptimized-schedule) permutation as the off-circuit
-sponge in `ops/poseidon.py`, so on-/off-circuit hashes agree bit-exactly
-within this framework.
+Verifies the OPTIMIZED permutation schedule — the same one the off-circuit
+sponge (`ops/poseidon.py::permute_optimized`) and the reference's
+`poseidon_hash.rs:205-237` run — so on-/off-circuit hashes agree bit-exactly.
 
-Row layout per permutation round (width T):
-  full round:    T ARC rows (t_j = s_j + rc_j) + T mix rows
-                 (out_i = sum_j M_ij * t_j^5 via q_5 = M row)
-  partial round: 1 ARC row (t_0) + T mix rows
-                 (out_i = M_i0*t_0^5 + sum_{j>0} M_ij*s_j + sum_{j>0} M_ij*rc_j)
+Because the optimized schedule applies the sbox to the RAW state (constants
+are added after the sbox, folded through the linear layer), no separate ARC
+rows are needed: every round is T one-row linear-combinations of fifth
+powers (`out_i = sum_j A_ij s_j^5 + rc_i`), and partial rounds use the
+sparse [[row],[col | I]] matrices (reference `poseidon_circuit.rs:188-252`).
+Rows per permutation drop from 2T*r_f + (T+1)*r_p to T*(r_f + r_p) + absorb.
+State entries that are protocol constants (initial sponge state, padding)
+fold into the gate's fixed `rc` instead of occupying witness cells.
 """
 
 from __future__ import annotations
 
 from typing import Sequence
 
-from ..ops.poseidon import PoseidonSpec
+from ..ops.poseidon import PoseidonSpec, optimized_spec
 from .main_gate import AssignedCell, MainGate, RegionCtx
 
 
@@ -43,81 +46,111 @@ class PoseidonChip:
         return self
 
     # -- permutation ------------------------------------------------------------
-    def _arc_cell(self, ctx: RegionCtx, s, rc: int) -> AssignedCell:
-        mg = self.mg
-        if isinstance(s, AssignedCell):
-            return mg.add_with_const(ctx, s, rc)
-        return mg.assign_constant(ctx, (s + rc) % mg.p)
+    def _row(self, ctx: RegionCtx, pow5_terms, lin_terms, rc: int) -> AssignedCell:
+        """One gate row: out = sum c*s^5 (pow5_terms) + sum c*s (lin_terms)
+        + rc.  Constant (int) state entries fold into rc."""
+        mg, p = self.mg, self.mg.p
+        cells: list = []
+        q5: list = []
+        q1: list = []
+        rc = rc % p
+        for cf, s in pow5_terms:
+            if cf % p == 0:
+                continue
+            if isinstance(s, AssignedCell):
+                cells.append(s)
+                q5.append(cf % p)
+                q1.append(0)
+            else:
+                rc = (rc + cf * pow(s % p, 5, p)) % p
+        for cf, s in lin_terms:
+            if cf % p == 0:
+                continue
+            if isinstance(s, AssignedCell):
+                cells.append(s)
+                q5.append(0)
+                q1.append(cf % p)
+            else:
+                rc = (rc + cf * (s % p)) % p
+        out = (
+            sum(c * pow(s.value, 5, p) for c, s in zip(q5, cells))
+            + sum(c * s.value for c, s in zip(q1, cells))
+            + rc
+        ) % p
+        return mg.apply(ctx, cells, q_1=q1, q_5=q5, rc=rc, out_val=out, q_o=p - 1)
 
-    def _round(self, ctx: RegionCtx, state: list, r: int, is_full: bool) -> list:
-        mg, spec, p = self.mg, self.spec, self.mg.p
-        rcs = spec.round_constants[r]
-        mds = spec.mds
-        T = spec.t
-
-        def val(s):
-            return s.value if isinstance(s, AssignedCell) else s % p
-
-        if is_full:
-            ts = [self._arc_cell(ctx, state[j], rcs[j]) for j in range(T)]
-            new_state = []
-            for i in range(T):
-                out = sum(mds[i][j] * pow(ts[j].value, 5, p) for j in range(T)) % p
-                cell = mg.apply(
-                    ctx,
-                    ts,
-                    q_5=[mds[i][j] for j in range(T)],
-                    out_val=out,
-                    q_o=p - 1,
-                )
-                new_state.append(cell)
-            return new_state
-
-        t0 = self._arc_cell(ctx, state[0], rcs[0])
-        new_state = []
-        for i in range(T):
-            rc_sum = sum(mds[i][j] * rcs[j] for j in range(1, T)) % p
-            out = (
-                mds[i][0] * pow(t0.value, 5, p)
-                + sum(mds[i][j] * val(state[j]) for j in range(1, T))
-                + rc_sum
-            ) % p
-            q5 = [mds[i][0]] + [0] * (T - 1)
-            q1 = [0] + [mds[i][j] for j in range(1, T)]
-            cell = mg.apply(
+    def _mat_round(self, ctx: RegionCtx, state: list, M, k) -> list:
+        """out_i = sum_j M_ij * s_j^5 + (M k)_i — one row per output."""
+        p = self.mg.p
+        T = self.spec.t
+        return [
+            self._row(
                 ctx,
-                [t0, *state[1:]],
-                q_1=q1,
-                q_5=q5,
-                rc=rc_sum,
-                out_val=out,
-                q_o=p - 1,
+                [(M[i][j], state[j]) for j in range(T)],
+                [],
+                sum(M[i][j] * k[j] for j in range(T)) % p,
             )
-            new_state.append(cell)
-        return new_state
+            for i in range(T)
+        ]
 
     def permutation(self, ctx: RegionCtx, state: list, inputs: Sequence) -> list:
-        """Absorb inputs (+1 padding marker) then run the round schedule —
-        mirrors the off-circuit `permute` exactly."""
+        """Absorb inputs (+1 padding marker) then run the optimized round
+        schedule — mirrors the off-circuit `permute_optimized` exactly."""
         mg, spec = self.mg, self.spec
-        state = list(state)
-        for i, v in enumerate(inputs):
-            if isinstance(v, AssignedCell):
-                if isinstance(state[1 + i], AssignedCell):
-                    state[1 + i] = mg.add(ctx, state[1 + i], v)
-                else:
-                    state[1 + i] = mg.add_with_const(ctx, v, state[1 + i])
-            else:
-                state[1 + i] = self._arc_cell(ctx, state[1 + i], v)
-        if len(inputs) < spec.rate:
-            idx = 1 + len(inputs)
-            state[idx] = self._arc_cell(ctx, state[idx], 1) if not isinstance(state[idx], AssignedCell) else mg.add_with_const(ctx, state[idx], 1)
-
+        p = mg.p
+        opt = optimized_spec(spec)
         half = spec.r_f // 2
-        for r in range(spec.r_f + spec.r_p):
-            is_full = not (half <= r < half + spec.r_p)
-            state = self._round(ctx, state, r, is_full)
-        return state
+        state = list(state)
+
+        # pre_round: state[0] += k0[0]; state[1+i] += input_i + k0[1+i];
+        # the +1 padding marker lands right after the last input
+        k0 = opt.start[0]
+        if isinstance(state[0], AssignedCell):
+            state[0] = mg.add_with_const(ctx, state[0], k0[0])
+        else:
+            state[0] = (state[0] + k0[0]) % p
+        for i in range(spec.rate):
+            pad = 1 if i == len(inputs) else 0
+            v = inputs[i] if i < len(inputs) else pad
+            s = state[1 + i]
+            if isinstance(v, AssignedCell) and isinstance(s, AssignedCell):
+                state[1 + i] = self._row(ctx, [], [(1, s), (1, v)], k0[1 + i])
+            elif isinstance(v, AssignedCell):
+                state[1 + i] = mg.add_with_const(ctx, v, (s + k0[1 + i]) % p)
+            elif isinstance(s, AssignedCell):
+                state[1 + i] = mg.add_with_const(ctx, s, (v + k0[1 + i]) % p)
+            else:
+                state[1 + i] = (s + v + k0[1 + i]) % p
+
+        for r in range(1, half):
+            state = self._mat_round(ctx, state, spec.mds, opt.start[r])
+        state = self._mat_round(ctx, state, opt.pre_sparse_mds, opt.start[half])
+
+        T = spec.t
+        for i in range(spec.r_p):
+            g = opt.partial[i]
+            row, col = opt.sparse_rows[i], opt.sparse_cols[i]
+            # new0 = row . (s0^5 + g, s1, ..) ; new_j = col_{j-1}*(s0^5+g) + s_j
+            new0 = self._row(
+                ctx,
+                [(row[0], state[0])],
+                [(row[j], state[j]) for j in range(1, T)],
+                row[0] * g % p,
+            )
+            rest = [
+                self._row(
+                    ctx,
+                    [(col[j - 1], state[0])],
+                    [(1, state[j])],
+                    col[j - 1] * g % p,
+                )
+                for j in range(1, T)
+            ]
+            state = [new0] + rest
+
+        for j in range(half - 1):
+            state = self._mat_round(ctx, state, spec.mds, opt.end[j])
+        return self._mat_round(ctx, state, spec.mds, (0,) * T)
 
     def squeeze(self, ctx: RegionCtx) -> AssignedCell:
         """Run the sponge over the buffered inputs; output = state[1]

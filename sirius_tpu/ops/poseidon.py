@@ -15,13 +15,24 @@ Replaces the reference's PSE `poseidon` crate + `src/poseidon/poseidon_hash.rs`
   buffer) resets after output.
 - Initial state: [2^64, 0, ..., 0] (PSE `State::default()` capacity tag).
 
-Design departure (documented): we run the *unoptimized* Poseidon round
-sequence (ARC -> sbox -> full MDS for every round).  The PSE crate's
-sparse-matrix "optimized" schedule is algebraically identical in output; we
-prefer the plain schedule because on TPU the full-MDS partial round is a
-single small matmul and the simpler structure is what the on-circuit chip
-verifies.  Hash outputs are unaffected (verified against the reference's
-inline golden vector in tests/test_poseidon.py).
+Both round schedules are implemented:
+
+- the *plain* sequence (ARC -> sbox -> full MDS for every round), kept as the
+  readable reference implementation and cross-check oracle;
+- the PSE *optimized* schedule (`poseidon_hash.rs:206-237`): constants folded
+  through the linear layers so every round is sbox -> add -> matrix, the
+  partial-round MDS factorised into sparse matrices ([[row],[col | I]]) with a
+  dense `pre_sparse_mds` entering the partial chain.  The factorisation is
+  forced by the reference's code shape (`sbox_full`/`sbox_part`/
+  `apply_sparse_mds` in `poseidon_hash.rs:26-96`): backward from the last
+  partial round, Sigma_i * [[1,0],[0,Dhat]] = A_{i+1} * MDS, which pins
+  Sigma_i's row to v*Dhat^-1 and its column to w.  Output equality with the
+  plain schedule is a theorem (invariant y_r = x_r + c_r at every round
+  boundary); tests assert it numerically and the reference golden vector
+  stays bit-exact.
+
+The optimized schedule is what `PoseidonHash`/`DevicePoseidon` and the
+on-circuit chip run: partial rounds cost 2t-1 muls instead of t^2.
 """
 
 from __future__ import annotations
@@ -119,6 +130,120 @@ class PoseidonSpec:
         return [1 << 64] + [0] * (self.t - 1)
 
 
+# --- host modular matrix helpers (setup-time only) -------------------------
+
+
+def _mat_vec(M, v, p):
+    return tuple(sum(m * x for m, x in zip(row, v)) % p for row in M)
+
+
+def _mat_mul(A, B, p):
+    return tuple(
+        tuple(sum(A[i][k] * B[k][j] for k in range(len(B))) % p for j in range(len(B[0])))
+        for i in range(len(A))
+    )
+
+
+def _mat_inv(M, p):
+    """Gauss-Jordan inverse mod p."""
+    n = len(M)
+    aug = [list(row) + [1 if i == j else 0 for j in range(n)] for i, row in enumerate(M)]
+    for col in range(n):
+        piv = next(r for r in range(col, n) if aug[r][col] % p)
+        aug[col], aug[piv] = aug[piv], aug[col]
+        inv = pow(aug[col][col], -1, p)
+        aug[col] = [(x * inv) % p for x in aug[col]]
+        for r in range(n):
+            if r != col and aug[r][col]:
+                fac = aug[r][col]
+                aug[r] = [(x - fac * y) % p for x, y in zip(aug[r], aug[col])]
+    return tuple(tuple(row[n:]) for row in aug)
+
+
+@dataclass(frozen=True)
+class OptimizedPoseidon:
+    """PSE optimized-schedule constants (reference `poseidon_hash.rs:206-237`):
+    start (half+1 rows), partial (r_p scalars), end (half-1 rows),
+    pre_sparse_mds (t x t), and per-partial-round sparse matrices
+    [[row], [col | I]] (apply: new0 = row . s; new_i = col[i-1]*s0 + s_i)."""
+
+    start: tuple
+    partial: tuple
+    end: tuple
+    pre_sparse_mds: tuple
+    sparse_rows: tuple
+    sparse_cols: tuple
+
+
+@lru_cache(maxsize=None)
+def optimized_spec(spec: PoseidonSpec) -> OptimizedPoseidon:
+    """Fold the plain (ARC -> sbox -> MDS) schedule into the optimized form.
+
+    Backward induction with invariant u_i = A_i v_i + a_i over the partial
+    chain (v_i = plain pre-sbox state, A_i = [[1,0],[0,Ahat]], a_i[0] = 0):
+      A_rp = I, a_rp = 0
+      D = A_{i+1} M;  Sigma_i = [[D00, v Dhat^-1], [w, I]];  A_i = [[1,0],[0,Dhat]]
+      u = Sigma_i^-1 (A_{i+1} c_{half+i+1} + a_{i+1});  g_i = u[0];  a_i = u - e0 g_i
+      pre_sparse = A_0 M;  start[half] = pre_sparse^-1 (A_0 c_half + a_0)
+    Full-round constants just pass through M^-1 (sbox-then-add form).
+    """
+    p = spec.field.modulus
+    t, r_f, r_p = spec.t, spec.r_f, spec.r_p
+    half = r_f // 2
+    M = spec.mds
+    M_inv = _mat_inv(M, p)
+    c = spec.round_constants  # (r_f + r_p) rows of t
+
+    ident_tail = tuple(
+        tuple(1 if i == j else 0 for j in range(t - 1)) for i in range(t - 1)
+    )
+
+    A = tuple(tuple(1 if i == j else 0 for j in range(t)) for i in range(t))  # A_rp
+    a = (0,) * t
+    sparse_rows: list = [None] * r_p
+    sparse_cols: list = [None] * r_p
+    partial: list = [None] * r_p
+    for i in range(r_p - 1, -1, -1):
+        D = _mat_mul(A, M, p)
+        Dhat = tuple(row[1:] for row in D[1:])
+        w = tuple(row[0] for row in D[1:])
+        v = D[0][1:]
+        Dhat_inv = _mat_inv(Dhat, p)
+        row = (D[0][0],) + tuple(
+            sum(v[k] * Dhat_inv[k][j] for k in range(t - 1)) % p for j in range(t - 1)
+        )
+        sparse_rows[i] = row
+        sparse_cols[i] = w
+        # Sigma_i as a full matrix for the constants solve
+        Sigma = (row,) + tuple((w[j],) + ident_tail[j] for j in range(t - 1))
+        R = tuple(
+            (x + y) % p for x, y in zip(_mat_vec(A, c[half + i + 1], p), a)
+        )
+        u = _mat_vec(_mat_inv(Sigma, p), R, p)
+        partial[i] = u[0]
+        a = (0,) + u[1:]
+        A = ((1,) + (0,) * (t - 1),) + tuple((0,) + Dhat[j] for j in range(t - 1))
+
+    pre_sparse = _mat_mul(A, M, p)
+    start_last = _mat_vec(
+        _mat_inv(pre_sparse, p),
+        tuple((x + y) % p for x, y in zip(_mat_vec(A, c[half], p), a)),
+        p,
+    )
+    start = (tuple(c[0]),) + tuple(_mat_vec(M_inv, c[j], p) for j in range(1, half)) + (
+        start_last,
+    )
+    end = tuple(_mat_vec(M_inv, c[half + r_p + 1 + j], p) for j in range(half - 1))
+    return OptimizedPoseidon(
+        start=start,
+        partial=tuple(partial),
+        end=end,
+        pre_sparse_mds=pre_sparse,
+        sparse_rows=tuple(sparse_rows),
+        sparse_cols=tuple(sparse_cols),
+    )
+
+
 @lru_cache(maxsize=None)
 def poseidon_spec(field: FieldSpec, t: int, rate: int, r_f: int, r_p: int) -> PoseidonSpec:
     assert rate == t - 1
@@ -168,6 +293,46 @@ def permute(spec: PoseidonSpec, state: list[int], inputs: Sequence[int]) -> list
     return s
 
 
+def permute_optimized(spec: PoseidonSpec, state: list[int], inputs: Sequence[int]) -> list[int]:
+    """One absorbing permutation on the optimized schedule — mirrors the
+    reference `poseidon_hash.rs:205-237` step for step (pre_round,
+    sbox_full+mds, sbox_full+pre_sparse_mds, sbox_part+sparse, sbox_full+mds,
+    final zero-constant full round).  Bit-identical output to `permute`."""
+    p = spec.field.modulus
+    t, r_f, r_p = spec.t, spec.r_f, spec.r_p
+    half = r_f // 2
+    opt = optimized_spec(spec)
+    assert len(inputs) <= spec.rate
+
+    # pre_round: add inputs + start[0] (+1 padding marker after the inputs)
+    s = list(state)
+    k0 = opt.start[0]
+    s[0] = (s[0] + k0[0]) % p
+    for i in range(spec.rate):
+        v = inputs[i] if i < len(inputs) else (1 if i == len(inputs) else 0)
+        s[1 + i] = (s[1 + i] + v + k0[1 + i]) % p
+
+    def sbox_full(s, ks):
+        return [(pow(x, 5, p) + k) % p for x, k in zip(s, ks)]
+
+    def mat(M, s):
+        return [sum(m * x for m, x in zip(row, s)) % p for row in M]
+
+    for j in range(1, half):
+        s = mat(spec.mds, sbox_full(s, opt.start[j]))
+    s = mat(opt.pre_sparse_mds, sbox_full(s, opt.start[half]))
+
+    for i in range(r_p):
+        s[0] = (pow(s[0], 5, p) + opt.partial[i]) % p
+        row, col = opt.sparse_rows[i], opt.sparse_cols[i]
+        s0 = sum(r * x for r, x in zip(row, s)) % p
+        s = [s0] + [(c * s[0] + x) % p for c, x in zip(col, s[1:])]
+
+    for j in range(half - 1):
+        s = mat(spec.mds, sbox_full(s, opt.end[j]))
+    return mat(spec.mds, sbox_full(s, (0,) * t))
+
+
 class PoseidonHash:
     """Host transcript random oracle (`ROTrait` analogue).
 
@@ -213,9 +378,9 @@ class PoseidonHash:
 
         state = spec.initial_state
         for i in range(0, len(buf), rate):
-            state = permute(spec, state, buf[i : i + rate])
+            state = permute_optimized(spec, state, buf[i : i + rate])
         if exact:
-            state = permute(spec, state, [])
+            state = permute_optimized(spec, state, [])
 
         return state[1] & ((1 << num_bits) - 1)
 
@@ -228,20 +393,37 @@ class PoseidonHash:
 class DevicePoseidon:
     """Vectorized Poseidon permutation over a batch: state uint32[batch, T, L].
 
-    MDS mixing is expressed as per-element field muls with constant matrix
-    entries (broadcast), which XLA fuses; a future Pallas/MXU path can swap in
-    the fixed-operand matmul formulation without changing callers.
+    Runs the OPTIMIZED schedule (same as the host sponge and the reference's
+    `poseidon_hash.rs:205-237`): every round is sbox -> add-constant ->
+    matrix, with the partial-round linear layer a sparse [[row],[col | I]]
+    apply (2t-1 muls instead of the t^2 full MDS).  Mixing is expressed as
+    per-element field muls with constant matrix entries (broadcast), which
+    XLA fuses.
     """
 
     def __init__(self, spec: PoseidonSpec):
         self.spec = spec
         self.f: Field = field_for(spec.field)
         t = spec.t
-        self.rc = np.asarray(
-            self.f.encode([c for row in spec.round_constants for c in row])
-        ).reshape(len(spec.round_constants), t, -1)
-        self.mds = np.asarray(self.f.encode([c for row in spec.mds for c in row])).reshape(
+        opt = optimized_spec(spec)
+        half = spec.r_f // 2
+        enc = lambda vals: np.asarray(self.f.encode(list(vals)))
+        self.start = enc([c for row in opt.start for c in row]).reshape(half + 1, t, -1)
+        self.end = (
+            enc([c for row in opt.end for c in row]).reshape(half - 1, t, -1)
+            if half > 1
+            else np.zeros((0, t, self.start.shape[-1]), np.uint32)
+        )
+        self.partial = enc(opt.partial).reshape(spec.r_p, -1)
+        self.mds = enc([c for row in spec.mds for c in row]).reshape(t, t, -1)
+        self.pre_sparse = enc([c for row in opt.pre_sparse_mds for c in row]).reshape(
             t, t, -1
+        )
+        self.sp_rows = enc([c for row in opt.sparse_rows for c in row]).reshape(
+            spec.r_p, t, -1
+        )
+        self.sp_cols = enc([c for row in opt.sparse_cols for c in row]).reshape(
+            spec.r_p, t - 1, -1
         )
         self.permute = jax.jit(self.permute)
 
@@ -253,6 +435,7 @@ class DevicePoseidon:
         """state: (batch, T, L); inputs: (batch, k, L) with k <= RATE or None."""
         f, spec = self.f, self.spec
         t, r_f, r_p = spec.t, spec.r_f, spec.r_p
+        half = r_f // 2
         if inputs is not None and inputs.shape[1] > 0:
             k = inputs.shape[1]
             absorbed = f.add(state[:, 1 : 1 + k], inputs)
@@ -264,28 +447,42 @@ class DevicePoseidon:
             padded = f.add(state[:, 1 + k : 2 + k], one)
             state = jnp.concatenate([state[:, : 1 + k], padded, state[:, 2 + k :]], axis=1)
 
-        half = r_f // 2
-        rc = jnp.asarray(self.rc)
+        start = jnp.asarray(self.start)
+        end = jnp.asarray(self.end)
+        partial = jnp.asarray(self.partial)
         mds = jnp.asarray(self.mds)
+        pre_sparse = jnp.asarray(self.pre_sparse)
+        sp_rows = jnp.asarray(self.sp_rows)
+        sp_cols = jnp.asarray(self.sp_cols)
 
-        def mix(state):
-            # state' = mds @ state over the field: (t, t) x (batch, t)
-            prod = f.mul(mds[None], state[:, None, :, :])  # (batch, t, t, L)
+        # pre_round: state += start[0]
+        state = f.add(state, start[0][None])
+
+        def pow5(x):
+            return f.mul(f.square(f.square(x)), x)
+
+        def mat_apply(m, state):
+            prod = f.mul(m[None], state[:, None, :, :])  # (batch, t, t, L)
             return f.sum_reduce(prod, axis=2)
 
         def full_round(r, state):
-            state = f.add(state, rc[r][None])
-            state = f.mul(f.square(f.square(state)), state)
-            return mix(state)
+            return mat_apply(mds, f.add(pow5(state), start[r][None]))
 
-        def partial_round(r, state):
-            state = f.add(state, rc[r][None])
-            s0 = state[:, 0]
-            s0 = f.mul(f.square(f.square(s0)), s0)
+        state = jax.lax.fori_loop(1, half, full_round, state)
+        state = mat_apply(pre_sparse, f.add(pow5(state), start[half][None]))
+
+        def partial_round(i, state):
+            s0 = f.add(pow5(state[:, 0]), partial[i][None])
             state = jnp.concatenate([s0[:, None], state[:, 1:]], axis=1)
-            return mix(state)
+            new0 = f.sum_reduce(f.mul(sp_rows[i][None], state), axis=1)
+            rest = f.add(f.mul(sp_cols[i][None], s0[:, None]), state[:, 1:])
+            return jnp.concatenate([new0[:, None], rest], axis=1)
 
-        state = jax.lax.fori_loop(0, half, full_round, state)
-        state = jax.lax.fori_loop(half, half + r_p, partial_round, state)
-        state = jax.lax.fori_loop(half + r_p, r_f + r_p, full_round, state)
-        return state
+        state = jax.lax.fori_loop(0, r_p, partial_round, state)
+
+        def end_round(j, state):
+            return mat_apply(mds, f.add(pow5(state), end[j][None]))
+
+        if half > 1:
+            state = jax.lax.fori_loop(0, half - 1, end_round, state)
+        return mat_apply(mds, pow5(state))

@@ -91,3 +91,33 @@ def test_device_permutation_matches_host():
         host = permute(spec, spec.initial_state, inputs[bi])
         got = f.decode(out[bi])
         assert got == host
+
+
+def test_optimized_schedule_matches_plain():
+    """The PSE optimized schedule (pre_sparse_mds + sparse partial rounds,
+    reference poseidon_hash.rs:205-237) is bit-identical to the plain
+    ARC->sbox->MDS sequence for every input width, including at the
+    production parameterizations."""
+    import random
+
+    from sirius_tpu.fields.constants import pasta_fp
+    from sirius_tpu.ops.poseidon import optimized_spec, permute_optimized
+
+    for (fld, t, rate, rf, rp) in [
+        (pasta_fp, 3, 2, 4, 3),
+        (bn256_fr, 5, 4, 10, 10),
+        (bn256_fr, 3, 2, 8, 57),
+    ]:
+        spec = poseidon_spec(fld, t, rate, rf, rp)
+        opt = optimized_spec(spec)
+        assert len(opt.start) == rf // 2 + 1
+        assert len(opt.partial) == rp
+        assert len(opt.end) == rf // 2 - 1
+        rng = random.Random(7)
+        for _ in range(3):
+            state = [rng.randrange(fld.modulus) for _ in range(t)]
+            for ninp in range(rate + 1):
+                inputs = [rng.randrange(fld.modulus) for _ in range(ninp)]
+                assert permute(spec, state, inputs) == permute_optimized(
+                    spec, state, inputs
+                ), (t, rf, rp, ninp)
