@@ -185,7 +185,16 @@ class RelaxedPlonkWitness:
         `accumulator.rs:364-404`)."""
         f = field
         r_dev = f.encode([r])[0]
-        key = (f.spec.name, len(self.W), len(cross_terms))
+        from ..parallel.context import get_mesh, replicated_sharding, row_sharding
+
+        mesh = get_mesh()
+        if mesh is not None:
+            # explicit row shardings need every row count divisible by the
+            # mesh; fall back to GSPMD inference otherwise
+            nd = mesh.devices.size
+            if any(a.shape[0] % nd for a in [*self.W, *W2.W, self.E, *cross_terms]):
+                mesh = None
+        key = (f.spec.name, len(self.W), len(cross_terms), mesh)
         fold_all = _FOLD_COMPILED.get(key)
         if fold_all is None:
             from ..fields.jfield_lf import from_lf, lf_for, to_lf
@@ -205,10 +214,33 @@ class RelaxedPlonkWitness:
                     r_pow = flf.mul(r_pow, r_lf)
                 return newW, from_lf(E_lf)
 
-            fold_all = jax.jit(run)
+            if mesh is None:
+                fold_all = jax.jit(run)
+            else:
+                # explicit shardings: every witness/error/cross-term array
+                # stays row-sharded through the axpy (elementwise — no
+                # collectives), the scalar r is replicated; prevents GSPMD
+                # from inferring mixed layouts (round-3 dryrun remat)
+                rows, repl = row_sharding(), replicated_sharding()
+                fold_all = jax.jit(
+                    run,
+                    in_shardings=(rows, rows, rows, rows, repl),
+                    out_shardings=(rows, rows),
+                )
             _FOLD_COMPILED[key] = fold_all
 
-        newW, newE = fold_all(list(self.W), list(W2.W), self.E, list(cross_terms), r_dev)
+        W1s, W2s, E, Ts = list(self.W), list(W2.W), self.E, list(cross_terms)
+        if mesh is not None:
+            # jit in_shardings require args to ALREADY carry the requested
+            # sharding; device_put is a no-op for arrays placed row-sharded
+            # by the SPS/eval stages and a deliberate reshard otherwise
+            rows = row_sharding()
+            W1s = [jax.device_put(w, rows) for w in W1s]
+            W2s = [jax.device_put(w, rows) for w in W2s]
+            E = jax.device_put(E, rows)
+            Ts = [jax.device_put(t, rows) for t in Ts]
+            r_dev = jax.device_put(r_dev, replicated_sharding())
+        newW, newE = fold_all(W1s, W2s, E, Ts, r_dev)
         return RelaxedPlonkWitness(newW, newE)
 
 

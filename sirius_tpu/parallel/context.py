@@ -42,3 +42,28 @@ def mesh_context(mesh: Mesh):
         yield mesh
     finally:
         set_mesh(prev)
+
+
+def row_sharding():
+    """NamedSharding(P('rows', None)) for the active mesh, else None.
+
+    Passed as an explicit in/out_sharding on jitted protocol programs so
+    GSPMD sees consistent annotations instead of inferring mixed layouts
+    (the round-3 dryrun's 'involuntary full rematerialization' on W0 came
+    from exactly such an inference mismatch)."""
+    mesh = get_mesh()
+    if mesh is None:
+        return None
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    return NamedSharding(mesh, PartitionSpec("rows", None))
+
+
+def replicated_sharding():
+    """Fully-replicated NamedSharding for the active mesh, else None."""
+    mesh = get_mesh()
+    if mesh is None:
+        return None
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    return NamedSharding(mesh, PartitionSpec())

@@ -180,7 +180,10 @@ def device_perm_mismatches(f, idx, head_ints: Sequence[int], W0_slice) -> int:
     if head.ndim == 1:
         head = head.reshape(0, W0_slice.shape[-1])
 
-    key = ("permchk", f.spec.name, len(head_ints), W0_slice.shape[0])
+    from ..parallel.context import get_mesh, replicated_sharding
+
+    mesh = get_mesh()
+    key = ("permchk", f.spec.name, len(head_ints), W0_slice.shape[0], mesh)
     fn = _PERM_IDX_CACHE.get(key)
     if fn is None:
 
@@ -188,8 +191,22 @@ def device_perm_mismatches(f, idx, head_ints: Sequence[int], W0_slice) -> int:
             Z = jnp.concatenate([head_dev, W0], axis=0)
             return jnp.sum(~jnp.all(Z[idx_dev] == Z, axis=-1))
 
-        fn = jax.jit(run)
+        if mesh is None:
+            fn = jax.jit(run)
+        else:
+            # the permutation gather is a global all-to-all over rows; under
+            # a mesh, request replication EXPLICITLY (one deliberate
+            # all-gather via device_put at the call boundary) instead of
+            # letting GSPMD infer mixed layouts and fall back to involuntary
+            # rematerialization (observed on W0 in the round-3 dryrun log)
+            repl = replicated_sharding()
+            fn = jax.jit(run, in_shardings=(repl, repl, repl), out_shardings=repl)
         _PERM_IDX_CACHE[key] = fn
+    if mesh is not None:
+        repl = replicated_sharding()
+        W0_slice = jax.device_put(W0_slice, repl)
+        head = jax.device_put(jnp.asarray(head), repl)
+        idx = jax.device_put(jnp.asarray(idx), repl)
     return int(fn(jnp.asarray(idx), head, W0_slice))
 
 

@@ -1,7 +1,11 @@
 """Lookup arguments: 2- and 3-round SPS protocols + folding with lookups
 (analogue of reference `fibo_circuit_with_lookup` tests)."""
 
+import os
+
 import pytest
+
+SLOW_GATED = not os.environ.get("SIRIUS_TPU_SLOW_TESTS")
 
 from sirius_tpu.fields import gold
 from sirius_tpu.fields.constants import bn256_fq, bn256_fr, bn256_g1
@@ -126,6 +130,7 @@ def test_three_round_sps_and_is_sat(ck):
     satisfy.is_sat(S, ck, create_ro(), tr.u, tr.w)
 
 
+@pytest.mark.skipif(SLOW_GATED, reason="sangria-fold-over-lookup e2e gated; SPS round + coefficient tests keep default coverage")
 def test_fold_with_lookup(ck):
     """Sangria fold of two lookup traces (2-round SPS), relaxed is_sat."""
     ro = create_ro()

@@ -72,5 +72,19 @@ def test_sharded_fft_multichip():
     mesh = make_mesh(8)
     sh = NamedSharding(mesh, P("rows", None))
     a_sharded = jax.device_put(a, sh)
-    out = jax.jit(ctx._fft_impl, static_argnames=("inverse",), in_shardings=(sh,), out_shardings=sh)(a_sharded)
+    out = jax.jit(ctx._fft, static_argnames=("inverse",), in_shardings=(sh,), out_shardings=sh)(a_sharded)
     assert FR.decode(out) == gold.fft(xs, bn256_fr)
+
+
+def test_fft_lf_matches_limb_last(rng):
+    """Native limb-first entry agrees with the limb-last boundary API."""
+    from sirius_tpu.fields.jfield_lf import from_lf, to_lf
+
+    k = 5
+    ctx = ntt_ctx(bn256_fr, k)
+    xs = [int(x) for x in rng.integers(0, 2**62, size=1 << k)]
+    a = FR.encode(xs)
+    out_lf = from_lf(ctx.fft_lf(to_lf(a)))
+    assert FR.decode(out_lf) == gold.fft(xs, bn256_fr)
+    back = from_lf(ctx.ifft_lf(to_lf(out_lf)))
+    assert FR.decode(back) == xs
