@@ -228,6 +228,9 @@ def main():
     step_kind = os.environ.get("SIRIUS_TPU_BENCH_STEP", "trivial")
     if step_kind == "sha256":
         ivc_k = max(ivc_k, 18)  # the 3-W-commitment SFC needs 2^18 rows
+    if step_kind in ("poseidon", "sha256"):
+        # gate-adding step circuits widen the SFC (observed: poseidon at
+        # k=17 commits 14 columns = 1.75M elems > a 2^20 key)
         key_k = max(ivc_k + 4, key_k)
 
     out: dict = {"backend": backend, "budget_s": _BUDGET}
@@ -374,7 +377,16 @@ def main():
         if scope == "full" and on_tpu and step_kind == "trivial" and _remaining() > 500:
             _stage("poseidon ivc: start")
             try:
-                bench_cyclefold_ivc(ivc_k, ck1, ck2, out, "poseidon", prefix="pos_ivc")
+                # the poseidon SFC commits 14 columns at 2^17 rows — needs a
+                # 2^21 key (disk-cached after the first setup)
+                ck1p = (
+                    ck1
+                    if key_k >= ivc_k + 4
+                    else CommitmentKey.setup(
+                        BN256_G1, ivc_k + 4, b"bench-primary", use_cache=True
+                    )
+                )
+                bench_cyclefold_ivc(ivc_k, ck1p, ck2, out, "poseidon", prefix="pos_ivc")
                 if "pos_ivc_next_s" in out:
                     b = BASELINES["poseidon"]
                     out["pos_ivc_next_vs_baseline"] = round(

@@ -40,12 +40,14 @@ def emit(rec: dict):
     print(json.dumps(rec), flush=True)
 
 
-def _keys(ivc_k: int):
+def _keys(ivc_k: int, wide: bool = False):
+    """wide=True for gate-adding step circuits (poseidon/sha256/merkle):
+    their SFCs commit ~14 columns, overflowing an ivc_k+3 key."""
     from sirius_tpu.curves.jpoint import BN256_G1, GRUMPKIN
     from sirius_tpu.ivc.cyclefold_ivc import SUPPORT_K
     from sirius_tpu.ops.commitment import CommitmentKey
 
-    key_k = max(ivc_k + 3, 20)
+    key_k = max(ivc_k + (4 if wide else 3), 20)
     ck1 = CommitmentKey.setup(BN256_G1, key_k, b"bench-primary", use_cache=True)
     ck2 = CommitmentKey.setup(GRUMPKIN, SUPPORT_K + 3, b"bench-support", use_cache=True)
     return ck1, ck2
@@ -90,7 +92,7 @@ def bench_curve():
 def stage_poseidon():
     import bench
 
-    ck1, ck2 = _keys(17)
+    ck1, ck2 = _keys(17, wide=True)
     out: dict = {"stage": "poseidon_ivc", "k": 17}
     bench.bench_cyclefold_ivc(17, ck1, ck2, out, "poseidon", prefix="ivc")
     b = bench.BASELINES["poseidon"]
@@ -103,7 +105,7 @@ def stage_poseidon():
 def stage_sha256():
     import bench
 
-    ck1, ck2 = _keys(18)
+    ck1, ck2 = _keys(18, wide=True)
     out: dict = {"stage": "sha256_ivc", "k": 18}
     bench.bench_cyclefold_ivc(18, ck1, ck2, out, "sha256", prefix="ivc")
     b = bench.BASELINES["sha256"]
@@ -126,7 +128,7 @@ def stage_merkle():
         5: (47.8, 28.7, 4.35),
     }
     k = 17
-    ck1, ck2 = _keys(k)
+    ck1, ck2 = _keys(k, wide=True)
     for batch in range(1, 6):
         sc = MerkleStepCircuit(bn256_fr, depth=32, batch=batch)
         t0 = time.time()

@@ -87,10 +87,31 @@ class NTT:
         self.zeta_pows = np.asarray(field.encode(zpow)).T.copy()
         self.zeta_inv_pows = np.asarray(field.encode(zpow_inv)).T.copy()
 
-        self.fft = jax.jit(self._fft, static_argnames=("inverse",))
-        self.fft_lf = jax.jit(self._fft_lf_impl, static_argnames=("inverse",))
-        self.coset_fft = jax.jit(self._coset_fft)
-        self.coset_ifft = jax.jit(self._coset_ifft)
+        # four-step decomposition (k >= 10): n = n1*n2, two column-NTT
+        # passes with full-width lanes; SIRIUS_TPU_NTT_LADDER=1 forces the
+        # flat ladder (oracle / microbenchmarks)
+        import os as _os
+
+        self.use_four_step = k >= 10 and _os.environ.get("SIRIUS_TPU_NTT_LADDER") != "1"
+        if self.use_four_step:
+            self.n1 = 1 << ((k + 1) // 2)
+            self.n2 = 1 << (k // 2)
+            w_in = pow(omega, self.n2, p)  # order n1
+            w_out = pow(omega, self.n1, p)  # order n2
+            self.w_inner = powers_lf(w_in, max(self.n1 // 2, 1))
+            self.w_inner_inv = powers_lf(pow(w_in, -1, p), max(self.n1 // 2, 1))
+            self.w_outer = powers_lf(w_out, max(self.n2 // 2, 1))
+            self.w_outer_inv = powers_lf(pow(w_out, -1, p), max(self.n2 // 2, 1))
+            self.w_base = powers_lf(omega, self.n2)  # (L, n2): w^i2
+            self.w_base_inv = powers_lf(omega_inv, self.n2)
+            self.rev_n1 = _bit_reverse_indices((k + 1) // 2)
+            self.rev_n2 = _bit_reverse_indices(k // 2)
+        self._mid_cache: dict = {}
+
+        self._fft_lf_jit = jax.jit(self._fft_lf_core, static_argnames=("inverse",))
+        self._four_jit = jax.jit(self._four_step_core, static_argnames=("inverse",))
+        self.coset_fft = self._coset_fft
+        self.coset_ifft = self._coset_ifft
 
     # -- limb-first core -------------------------------------------------------
     def _ladder(self, al: jnp.ndarray, inverse: bool) -> jnp.ndarray:
@@ -119,16 +140,88 @@ class NTT:
             al = lf.mul(al, jnp.asarray(self.n_inv_col))
         return al
 
-    def _fft_lf_impl(self, al: jnp.ndarray, inverse: bool = False) -> jnp.ndarray:
-        """al: (L, n) standard or Montgomery form (linear map either way)."""
-        assert al.shape == (L, self.n)
+    # -- four-step (Bailey) core ----------------------------------------------
+    # The flat ladder's stage at half-size m has its butterfly pairs on a
+    # minor axis of extent m: for m < 128 the 128-wide vector lanes starve
+    # (measured 3.2 M elems/s at 2^20 — barely better than limb-last).  The
+    # n = n1*n2 decomposition runs two column-NTT passes whose butterflies
+    # always keep a large axis minor (full lanes every stage), one (L, n)
+    # transpose between them, and a fused mid-twiddle:
+    #   X[o2*n1 + o1] = sum_i2 w^(n1*i2*o2) * [ T[o1,i2] *
+    #                       sum_i1 x[i1*n2 + i2] * w^(n2*i1*o1) ]
+    #   with T[o1,i2] = w^(o1*i2)  (times 1/n for the inverse transform).
+
+    def _col_ntt(self, a: jnp.ndarray, size: int, rev: np.ndarray, table: jnp.ndarray) -> jnp.ndarray:
+        """NTT along axis 1 of (L, size, R); minor axis R rides the lanes."""
+        lf = self.lf
+        R = a.shape[2]
+        a = a[:, jnp.asarray(rev), :]
+        m = 1
+        while m < size:
+            nb = size // (2 * m)
+            view = a.reshape(L, nb, 2, m, R)
+            lo, hi = view[:, :, 0], view[:, :, 1]
+            if m == 1 and size > 2:
+                t = hi
+            else:
+                w = table[:, ::nb][:, :m]
+                t = lf.mul(hi, w[:, None, :, None])
+            a = jnp.stack([lf.add(lo, t), lf.sub(lo, t)], axis=2).reshape(L, size, R)
+            m *= 2
+        return a
+
+    def _four_step_core(self, al: jnp.ndarray, mid: jnp.ndarray, inverse: bool) -> jnp.ndarray:
+        n1, n2 = self.n1, self.n2
+        inner = jnp.asarray(self.w_inner_inv if inverse else self.w_inner)
+        outer = jnp.asarray(self.w_outer_inv if inverse else self.w_outer)
+        M = al.reshape(L, n1, n2)
+        A = self._col_ntt(M, n1, self.rev_n1, inner)  # (L, o1, i2)
+        B = self.lf.mul(A, mid)
+        D = jnp.swapaxes(B, 1, 2)  # (L, i2, o1)
+        E = self._col_ntt(D, n2, self.rev_n2, outer)  # (L, o2, o1)
+        return E.reshape(L, self.n)
+
+    def _mid_twiddle(self, inverse: bool) -> jnp.ndarray:
+        """T[o1, i2] = w^(+-o1*i2) (times 1/n when inverse), built EAGERLY
+        on device once per direction: n1 chained (L, n2) Montgomery muls."""
+        cached = self._mid_cache.get(inverse)
+        if cached is not None:
+            return cached
+        base = jnp.asarray(self.w_base_inv if inverse else self.w_base)  # (L, n2): w^(+-i2)
+        start = (
+            jnp.broadcast_to(jnp.asarray(self.n_inv_col), (L, self.n2))
+            if inverse
+            else self.lf.ones((self.n2,))
+        )
+        lf = self.lf
+
+        def step(row, _):
+            return lf.mul(row, base), row
+
+        _, rows = jax.jit(lambda s: jax.lax.scan(step, s, None, length=self.n1))(start)
+        T = jnp.moveaxis(rows, 0, 1)  # (L, n1, n2)
+        T.block_until_ready()
+        self._mid_cache[inverse] = T
+        return T
+
+    def _fft_lf_core(self, al: jnp.ndarray, inverse: bool = False) -> jnp.ndarray:
         return self._ladder(al[:, jnp.asarray(self.rev_idx)], inverse)
 
+    def fft_lf(self, al: jnp.ndarray, inverse: bool = False) -> jnp.ndarray:
+        """al: (L, n) standard or Montgomery form (linear map either way)."""
+        assert al.shape == (L, self.n)
+        if self.use_four_step:
+            return self._four_jit(al, self._mid_twiddle(inverse), inverse)
+        return self._fft_lf_jit(al, inverse)
+
     # -- limb-last public API --------------------------------------------------
-    def _fft(self, a: jnp.ndarray, inverse: bool = False) -> jnp.ndarray:
+    def fft(self, a: jnp.ndarray, inverse: bool = False) -> jnp.ndarray:
         """a: (n, L) standard or Montgomery form (linear map either way)."""
         assert a.shape[0] == self.n
-        return from_lf(self._fft_lf_impl(to_lf(a), inverse))
+        return from_lf(self.fft_lf(to_lf(a), inverse))
+
+    # alias kept for callers that took the bound jit directly
+    _fft = fft
 
     def ifft(self, a):
         return self.fft(a, inverse=True)
@@ -138,10 +231,10 @@ class NTT:
 
     def _coset_fft(self, a):
         al = self.lf.mul(to_lf(a), jnp.asarray(self.zeta_pows))
-        return from_lf(self._ladder(al[:, jnp.asarray(self.rev_idx)], False))
+        return from_lf(self.fft_lf(al, inverse=False))
 
     def _coset_ifft(self, a):
-        al = self._fft_lf_impl(to_lf(a), inverse=True)
+        al = self.fft_lf(to_lf(a), inverse=True)
         return from_lf(self.lf.mul(al, jnp.asarray(self.zeta_inv_pows)))
 
 

@@ -76,6 +76,43 @@ def test_sharded_fft_multichip():
     assert FR.decode(out) == gold.fft(xs, bn256_fr)
 
 
+def test_four_step_matches_gold_and_ladder(rng):
+    """k=10 engages the four-step (Bailey) path: check against the host gold
+    model AND bit-exactness vs the flat-ladder oracle, both directions, plus
+    the coset round-trip (the 1/n scale folds into the mid twiddle)."""
+    import jax.numpy as jnp
+
+    from sirius_tpu.fields.jfield_lf import from_lf, to_lf
+    from sirius_tpu.ops.ntt import NTT
+
+    k = 10
+    ctx = NTT(FR, k)
+    assert ctx.use_four_step
+    xs = [int(x) for x in rng.integers(0, 2**62, size=1 << k)]
+    al = jnp.asarray(to_lf(FR.encode(xs)))
+
+    out = ctx.fft_lf(al)
+    assert FR.decode(from_lf(out)) == gold.fft(xs, bn256_fr)
+    back = ctx.ifft_lf(out)
+    assert FR.decode(from_lf(back)) == xs
+
+    # ladder oracle bit-exactness
+    import os
+
+    os.environ["SIRIUS_TPU_NTT_LADDER"] = "1"
+    try:
+        ladder_ctx = NTT(FR, k)
+        assert not ladder_ctx.use_four_step
+        want = ladder_ctx.fft_lf(al)
+        assert jnp.array_equal(out, want)
+    finally:
+        del os.environ["SIRIUS_TPU_NTT_LADDER"]
+
+    # coset round-trip through the four-step path
+    a = FR.encode(xs)
+    assert FR.decode(ctx.coset_ifft(ctx.coset_fft(a))) == xs
+
+
 def test_fft_lf_matches_limb_last(rng):
     """Native limb-first entry agrees with the limb-last boundary API."""
     from sirius_tpu.fields.jfield_lf import from_lf, to_lf
