@@ -94,6 +94,21 @@ def main():
         rows.append(row)
         print(json.dumps(row), flush=True)
 
+        # every degree compiles a fresh set of big programs; on XLA:CPU the
+        # accumulated live executables exhaust memory after ~4 degrees
+        # ("LLVM compilation error: Cannot allocate memory") — drop the
+        # protocol-level compiled caches between degrees like tests/conftest
+        from sirius_tpu.nifs import protogalaxy as _pg
+        from sirius_tpu.nifs import sangria as _sg
+        from sirius_tpu.plonk import eval as _ev
+        from sirius_tpu.plonk import permutation as _pm
+
+        _pg._PG_COMPILED.clear()
+        _sg._FOLD_COMPILED.clear()
+        _ev._COMPILED_CACHE.clear()
+        _pm._PERM_IDX_CACHE.clear()
+        jax.clear_caches()
+
     with open(args.out, "w", newline="") as f:
         w = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
         w.writeheader()

@@ -24,6 +24,7 @@ import time
 import traceback
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 OUT = "scripts/out/tpu_batch_r4.jsonl"
 _T0 = time.time()
@@ -115,7 +116,7 @@ def stage_sha256():
     emit(out)
 
 
-def stage_merkle():
+def stage_merkle(max_batch: int = 5):
     from sirius_tpu.fields.constants import bn256_fr
     from sirius_tpu.gadgets.merkle_step_circuit import MerkleStepCircuit
     from sirius_tpu.ivc.cyclefold_ivc import CyclefoldIVC, CyclefoldPublicParams
@@ -129,7 +130,7 @@ def stage_merkle():
     }
     k = 17
     ck1, ck2 = _keys(k, wide=True)
-    for batch in range(1, 6):
+    for batch in range(1, max_batch + 1):
         sc = MerkleStepCircuit(bn256_fr, depth=32, batch=batch)
         t0 = time.time()
         pp = CyclefoldPublicParams(sc, k=k, ck_primary=ck1, ck_support=ck2)
@@ -209,6 +210,20 @@ def stage_longfold(steps: int = 1024, segments: int = 2):
     assert not errors, errors
 
 
+def stage_scaling():
+    """Measured chunk/finish split on the real chip + the 8-chip Amdahl
+    model (scripts/scaling_efficiency.py), captured into the jsonl."""
+    import io
+    import contextlib
+
+    import scaling_efficiency  # scripts/ is on sys.path when run as a script
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        scaling_efficiency.main()
+    emit({"stage": "scaling", **json.loads(buf.getvalue())})
+
+
 STAGES = {
     "trivial": stage_trivial,
     "ntt": stage_ntt,
@@ -217,6 +232,7 @@ STAGES = {
     "sha256": stage_sha256,
     "merkle": stage_merkle,
     "longfold": stage_longfold,
+    "scaling": stage_scaling,
 }
 
 
@@ -235,10 +251,12 @@ def main():
             continue
         log(f"=== stage {name} ===")
         try:
-            if name.startswith("longfold=") :
+            if name.startswith("longfold="):
                 parts = name.split("=")[1]
                 n, _, segs = parts.partition(",")
                 stage_longfold(int(n), int(segs or 2))
+            elif name.startswith("merkle="):
+                stage_merkle(int(name.split("=")[1]))
             else:
                 fn()
         except Exception as exc:
