@@ -36,7 +36,10 @@ import sys
 import time
 
 _T0 = time.time()
-_BUDGET = float(os.environ.get("SIRIUS_TPU_BENCH_BUDGET_S", "1600"))
+# default sized against the round driver's observed external kill at
+# ~1800 s (BENCH_r02 rc=124 at +1790): watchdog at 1700 leaves ~90 s to
+# flush the best-so-far line and exit cleanly
+_BUDGET = float(os.environ.get("SIRIUS_TPU_BENCH_BUDGET_S", "1700"))
 
 
 def _remaining() -> float:
