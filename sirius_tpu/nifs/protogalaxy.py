@@ -273,61 +273,59 @@ def _pow_weighted_reduce_lf(flf, vals: jnp.ndarray, w_lf: jnp.ndarray) -> jnp.nd
 
 
 def _points_tree_fn(S: PlonkStructure, t: int):
-    """Jitted: (sel, fixed, challenges, W1s, weights (t,m,L)) -> (t, L) tree
+    """(sel, fixed, challenges, W1s, weights (t,m,L)) -> (t, L) tree
     reductions of the shared gate-leaf array under t different weight sets.
-    Limb-first internally (leaves + tree); limb-last at the boundary."""
-    key = ("Fpts", id(S), t)
+
+    Split into TWO compiled programs (round-5 compile-wall fix): the heavy
+    gate-leaf sweep `_leaves_fn` (one program per structure, shared between
+    compute_F, compute_G and evaluate_e_from_trace regardless of t) and the
+    cheap weighted tree reduce `_reduce_fn` (one tiny program per t).  The
+    previous fused-per-t design compiled the full gate tape once per t value
+    (t=1 for e, t=32 for F, again inside G) — 3 x ~20 s XLA compiles of
+    near-identical mega-programs, the dominant cold-start cost."""
+    leaves = _leaves_fn(S)
+    red = _reduce_fn(S, t)
+
+    def call(sel, fixed, challenges, W1s, weights):
+        return red(leaves(sel, fixed, challenges, list(W1s)), weights)
+
+    return call
+
+
+def _leaves_fn(S: PlonkStructure):
+    """Jitted gate-leaf sweep: (sel, fixed, challenges, W1s) -> (L, N)
+    limb-first leaves.  The biggest XLA program in the PG pipeline; compiled
+    ONCE per structure and shared by F/G/e."""
+    key = ("leaves", id(S))
+    fn = _PG_COMPILED.get(key)
+    if fn is None:
+
+        def run(sel, fixed, challenges, W1s):
+            dom = _make_eval_dom(S, sel, fixed, challenges, W1s)
+            return _leaves_traced_lf(dom, S)
+
+        run.__name__ = f"pg_leaves_k{getattr(S, 'k', '?')}"
+        fn = jax.jit(run)
+        _PG_COMPILED[key] = fn
+    return fn
+
+
+def _reduce_fn(S: PlonkStructure, t: int):
+    """Jitted weighted tree reduce: (vals_lf (L,N), weights (t,m,L)) ->
+    (t, L) limb-last.  Small program (coefficient products + log-depth sum)."""
+    N = count_of_evaluation_with_padding(S)
+    key = ("reduce", S.field.spec.name, t, N)
     fn = _PG_COMPILED.get(key)
     if fn is None:
         from ..fields.jfield_lf import from_lf, lf_for
 
         flf = lf_for(S.field)
 
-        def run(sel, fixed, challenges, W1s, weights):
-            dom = _make_eval_dom(S, sel, fixed, challenges, W1s)
-            vals = _leaves_traced_lf(dom, S)  # (L, N)
+        def run(vals_lf, weights):
             w_lf = jnp.moveaxis(weights, -1, 0)  # (L, t, m)
-            return from_lf(_pow_weighted_reduce_lf(flf, vals, w_lf))
+            return from_lf(_pow_weighted_reduce_lf(flf, vals_lf, w_lf))
 
-        fn = jax.jit(run)
-        _PG_COMPILED[key] = fn
-    return fn
-
-
-def _g_points_fn(S: PlonkStructure, J1: int, nch: int):
-    """Jitted all-G-points pipeline: for every FFT point X (lax.map, so peak
-    memory stays one point's working set), fold the J1 stacked witnesses
-    with ls(X), evaluate all gate leaves, tree-reduce with the shared beta'
-    weights.  ONE device program per fold; limb-first internals."""
-    key = ("Gpts", id(S), J1, nch)
-    fn = _PG_COMPILED.get(key)
-    if fn is None:
-        from ..fields.jfield_lf import from_lf, lf_for, to_lf
-
-        flf = lf_for(S.field)
-
-        def one(sel, fixed, W_lf_stacked, w_lf, ls, chs):
-            # ls: (J1, L); chs: (nch, L); W_lf_stacked: per-round (L, J1, size)
-            ls_lf = jnp.moveaxis(ls, -1, 0)  # (L, J1)
-            W_folded_lf = [
-                flf.sum_reduce(flf.mul(ls_lf[:, :, None], w_r), axis=0)
-                for w_r in W_lf_stacked
-            ]
-            challenges = [chs[i] for i in range(nch)]
-            dom = _make_eval_dom(S, sel, fixed, challenges, [])
-            dom._lf_W1s = W_folded_lf
-            vals = _leaves_traced_lf(dom, S)  # (L, N)
-            return from_lf(_pow_weighted_reduce_lf(flf, vals, w_lf[:, None])[:, 0])
-
-        def run(sel, fixed, ls_all, ch_all, W_stacked, weights):
-            # ls_all: (t, J1, L); ch_all: (t, nch, L); weights: (m, L)
-            W_lf_stacked = [jnp.moveaxis(w, -1, 0) for w in W_stacked]  # (L, J1, size)
-            w_lf = jnp.moveaxis(weights, -1, 0)  # (L, m)
-            return jax.lax.map(
-                lambda a: one(sel, fixed, W_lf_stacked, w_lf, a[0], a[1]),
-                (ls_all, ch_all),
-            )
-
+        run.__name__ = f"pg_reduce_t{t}_N{N}"
         fn = jax.jit(run)
         _PG_COMPILED[key] = fn
     return fn
@@ -399,10 +397,10 @@ def compute_F(ctx: PolyContext, betas: Sequence[int], delta: int, trace: PlonkTr
     return UnivariatePoly(spec, gold.fft(points, spec, inverse=True))
 
 
-def fold_witness_device(field, witnesses: Sequence[PlonkWitness], ls: Sequence[int]) -> PlonkWitness:
-    """sum_j L_j * w_j over device round arrays (one jitted axpy program)."""
-    f = field
-    key = ("foldW", f.spec.name, len(witnesses), len(witnesses[0].W))
+def _fold_w_fn(f, J: int, nrounds: int):
+    """Cached jitted witness axpy: (l_dev (J,L), W_stacked per-round
+    (J,size,L)) -> folded per-round (size,L)."""
+    key = ("foldW", f.spec.name, J, nrounds)
     fn = _PG_COMPILED.get(key)
     if fn is None:
         from ..fields.jfield_lf import from_lf, lf_for
@@ -420,8 +418,16 @@ def fold_witness_device(field, witnesses: Sequence[PlonkWitness], ls: Sequence[i
                 for w_r in W_stacked
             ]
 
+        run.__name__ = "pg_fold_witness"
         fn = jax.jit(run)
         _PG_COMPILED[key] = fn
+    return fn
+
+
+def fold_witness_device(field, witnesses: Sequence[PlonkWitness], ls: Sequence[int]) -> PlonkWitness:
+    """sum_j L_j * w_j over device round arrays (one jitted axpy program)."""
+    f = field
+    fn = _fold_w_fn(f, len(witnesses), len(witnesses[0].W))
     l_dev = f.encode([l % f.p for l in ls])  # (J, L)
     W_stacked = [
         jnp.stack([w.W[rnd] for w in witnesses]) for rnd in range(len(witnesses[0].W))
@@ -436,12 +442,18 @@ def compute_G(
     traces: Sequence[PlonkTrace],
 ) -> UnivariatePoly:
     """G(X) = sum_i pow_i(beta') f_i(sum_j L_j(X) w_j)
-    (reference `poly/mod.rs:308-425`)."""
+    (reference `poly/mod.rs:308-425`).
+
+    Host loop over the FFT points, each iteration three SHARED compiled
+    programs (witness axpy, gate-leaf sweep, t=1 tree reduce) — no
+    G-specific XLA program at all (round-5 compile-wall fix).  Dispatch is
+    async, so the loop pipelines on device; peak memory stays one point's
+    folded witness, as with the previous lax.map design."""
     S = ctx.S
     spec = S.spec
     p = spec.modulus
     f = S.field
-    weights = _weights_device(f, [list(betas_stroke)])[0]  # (m, L)
+    weights = _weights_device(f, [list(betas_stroke)])  # (1, m, L)
 
     all_traces = [accumulator, *traces]
     J1 = len(all_traces)
@@ -452,26 +464,24 @@ def compute_G(
     ]
     sel = S.selectors_jax
     fixed = S.fixed_jax
+    fold = _fold_w_fn(f, J1, len(W_stacked))
+    leaves = _leaves_fn(S)
+    red = _reduce_fn(S, 1)
 
-    ls_rows, ch_rows = [], []
+    pts = []
     for X in lagrange.iter_cyclic_subgroup(spec, ctx.fft_points_count_G.bit_length() - 1):
         ls = list(
             lagrange.iter_eval_lagrange_poly_for_cyclic_group(spec, X, ctx.lagrange_domain)
         )
-        ls_rows.append([l % p for l in ls])
-        ch_rows.append([
+        l_dev = f.encode([l % p for l in ls])  # (J1, L)
+        ch_ints = [
             sum(l * (t.u.challenges[ci] if ci < len(t.u.challenges) else 0) for l, t in zip(ls, all_traces)) % p
             for ci in range(nch)
-        ])
-    t_pts = len(ls_rows)
-    ls_all = f.encode([v for row in ls_rows for v in row]).reshape(t_pts, J1, -1)
-    ch_all = (
-        f.encode([v for row in ch_rows for v in row]).reshape(t_pts, nch, -1)
-        if nch
-        else jnp.zeros((t_pts, 0, ls_all.shape[-1]), jnp.uint32)
-    )
-    pts = _g_points_fn(S, J1, nch)(sel, fixed, ls_all, ch_all, W_stacked, weights)
-    points = f.decode(pts)
+        ]
+        challenges = [f.encode([c])[0] for c in ch_ints]
+        W_folded = fold(l_dev, W_stacked)
+        pts.append(red(leaves(sel, fixed, challenges, W_folded), weights)[0])
+    points = f.decode(jnp.stack(pts))
     return UnivariatePoly(spec, gold.fft(points, spec, inverse=True))
 
 

@@ -33,6 +33,39 @@ CONSISTENCY_MARKERS_COUNT = 2
 # compiled witness-fold cache: (field, rounds, cross-terms) -> jitted fn
 _FOLD_COMPILED: dict = {}
 
+# inverse-Vandermonde cache for cross-term interpolation: (p, D) -> rows
+_VAND_INV: dict = {}
+
+
+def _vandermonde_inv(p: int, D: int) -> list[list[int]]:
+    """Rows k=0..D of V^-1 for the points x_j = j (j=0..D) mod p, i.e.
+    out[k][j] = coefficient of X^k in the Lagrange basis poly L_j(X).
+    T_k = sum_j out[k][j] * Q(j) recovers polynomial coefficients from
+    point evaluations."""
+    got = _VAND_INV.get((p, D))
+    if got is not None:
+        return got
+    rows = [[0] * (D + 1) for _ in range(D + 1)]
+    for j in range(D + 1):
+        # L_j(X) = prod_{i != j} (X - i) / (j - i)
+        coeffs = [1]
+        denom = 1
+        for i in range(D + 1):
+            if i == j:
+                continue
+            denom = denom * (j - i) % p
+            # multiply coeffs by (X - i)
+            nxt = [0] * (len(coeffs) + 1)
+            for d, c in enumerate(coeffs):
+                nxt[d] = (nxt[d] - i * c) % p
+                nxt[d + 1] = (nxt[d + 1] + c) % p
+            coeffs = nxt
+        dinv = pow(denom, -1, p)
+        for k, c in enumerate(coeffs):
+            rows[k][j] = c * dinv % p
+    _VAND_INV[(p, D)] = rows
+    return rows
+
 
 class SangriaError(Exception):
     pass
@@ -214,6 +247,7 @@ class RelaxedPlonkWitness:
                     r_pow = flf.mul(r_pow, r_lf)
                 return newW, from_lf(E_lf)
 
+            run.__name__ = f"sangria_fold_w{len(self.W)}_t{len(cross_terms)}"
             if mesh is None:
                 fold_all = jax.jit(run)
             else:
@@ -301,22 +335,46 @@ class VanillaFS:
         U2: PlonkInstance,
         W2: PlonkWitness,
     ):
-        """Reference `nifs/sangria/mod.rs:102-158`: evaluate each grouped term
-        T_k (degrees 1..deg-1) over all rows, commit each."""
+        """Reference `nifs/sangria/mod.rs:102-158`: the cross terms T_k
+        (degrees 1..deg) of P_homo(acc + X*inc).
+
+        Computed by EVALUATION + INTERPOLATION instead of symbolic
+        degree-grouping (round-5 compile-wall fix): Q(X) = P_homo(W1 + X*W2,
+        ch1 + X*ch2, u1 + X*u2) is a degree-<=D polynomial in X whose
+        coefficient vectors are EXACTLY the grouped terms (that is the
+        definition of `GroupedPoly`, reference `grouped_poly.rs:88-138`), so
+        evaluating Q at X = 0..D and applying the inverse Vandermonde
+        recovers T_1..T_D bit-exactly.  This reuses the SAME compiled
+        homogeneous-gate program as `is_sat_accumulation` (one witness set)
+        and the shared witness-axpy program — the symbolic grouped-poly
+        mega-program (5 giant expressions, the single biggest XLA compile in
+        the cyclefold pipeline) is gone from the hot path.  `GroupedPoly`
+        itself remains setup-time machinery for degree/shape derivation."""
         f = S.field
-        challenges = [*U1.challenges, U1.u, *U2.challenges, 1]
-        dom = PlonkEvalDomain(
-            S,
-            challenges=[f.encode([c % f.p])[0] for c in challenges],
-            W1s=list(W1.W),
-            W2s=list(W2.W),
-        )
-        terms = [t for t in S.custom_gates_lookup_compressed.grouped.iter_from_first() if t is not None]
-        outs = dom.evaluate_compiled(terms)
-        cross_terms = []
-        it = iter(outs)
-        for t in S.custom_gates_lookup_compressed.grouped.iter_from_first():
-            cross_terms.append(next(it) if t is not None else f.zeros((S.n,)))
+        p = f.p
+        D = len(S.custom_gates_lookup_compressed.grouped) - 1
+        if D < 1:
+            return [], []
+        from .protogalaxy import _fold_w_fn
+
+        expr = S.custom_gates_lookup_compressed.homogeneous
+        ch1 = [*U1.challenges, U1.u]
+        ch2 = [*U2.challenges, 1]
+        fold = _fold_w_fn(f, 2, len(W1.W))
+        W_stacked = [jnp.stack([w1, w2]) for w1, w2 in zip(W1.W, W2.W)]
+        evals = []
+        for X in range(D + 1):
+            WX = list(W1.W) if X == 0 else fold(f.encode([1, X]), W_stacked)
+            chX = [f.encode([(a + X * b) % p])[0] for a, b in zip(ch1, ch2)]
+            dom = PlonkEvalDomain(S, challenges=chX, W1s=list(WX), W2s=[])
+            evals.append(dom.evaluate_compiled([expr])[0])  # (n, L)
+        vinv = _vandermonde_inv(p, D)
+        comb = _fold_w_fn(f, D + 1, 1)
+        E_stacked = [jnp.stack(evals)]
+        cross_terms = [
+            comb(f.encode([vinv[k][j] for j in range(D + 1)]), E_stacked)[0]
+            for k in range(1, D + 1)
+        ]
         if len(cross_terms) > 1 and hasattr(ck, "commit_device_many"):
             # one batched MSM program for every T_k (shared key points)
             cross_term_commits = ck.commit_device_many(jnp.stack(cross_terms))

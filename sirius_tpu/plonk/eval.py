@@ -162,6 +162,7 @@ class PlonkEvalDomain:
 
             import jax
 
+            run.__name__ = f"gate_eval_k{getattr(S, 'k', '?')}_e{len(exprs)}"
             fn = jax.jit(run)
             _COMPILED_CACHE[key] = fn
         return fn(

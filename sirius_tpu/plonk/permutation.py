@@ -191,6 +191,7 @@ def device_perm_mismatches(f, idx, head_ints: Sequence[int], W0_slice) -> int:
             Z = jnp.concatenate([head_dev, W0], axis=0)
             return jnp.sum(~jnp.all(Z[idx_dev] == Z, axis=-1))
 
+        run.__name__ = "perm_check"
         if mesh is None:
             fn = jax.jit(run)
         else:
