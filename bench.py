@@ -31,7 +31,6 @@ from __future__ import annotations
 
 import json
 import os
-import signal
 import sys
 import time
 
@@ -70,10 +69,6 @@ BASELINES = {
     "sha256": {"new": 105.0, "next": 91.0, "verify": 10.7},
 }
 BASELINE_TRIVIAL = BASELINES["trivial"]
-
-
-class BudgetExceeded(Exception):
-    pass
 
 
 def bench_msm(curve, log_n: int, ck):
@@ -309,18 +304,12 @@ def main():
                 out.update({"metric": "bench_incomplete", "value": 0.0, "unit": "", "vs_baseline": 0.0})
         print(json.dumps(out), flush=True)
 
-    # the budget alarm unwinds whatever stage is running; partial results
-    # already in `out` still get reported
-    def on_alarm(signum, frame):
-        raise BudgetExceeded()
-
-    signal.signal(signal.SIGALRM, on_alarm)
-    signal.alarm(max(int(_remaining()) - 90, 1))
-
-    # Python signals only fire between bytecodes — a 20-minute C-level
-    # remote compile swallows SIGALRM until it returns, which is after the
-    # driver's hard kill.  Long compiles release the GIL, so a daemon thread
-    # CAN flush the best-so-far line and exit the process at the deadline.
+    # Budget enforcement is deterministic (round-4 lesson): the SIGALRM
+    # approach raised BudgetExceeded inside whatever frame was running, and
+    # library `except Exception` blocks (observed: jax's persistent-cache
+    # read) silently swallowed it, letting the run sail past the deadline.
+    # Now: stage-boundary `_remaining()` gates (below) + the daemon
+    # hard-kill watchdog are the only mechanisms — nothing to swallow.
     import threading
 
     def watchdog():
@@ -370,8 +359,6 @@ def main():
                 out["ntt_elems_per_sec"] = round(bench_ntt(log_n), 1)
                 out["ntt_log_n"] = log_n
                 _stage(f"ntt done: {out['ntt_elems_per_sec']:.0f} elems/s")
-            except BudgetExceeded:
-                raise
             except Exception as exc:
                 _stage(f"ntt failed: {exc!r}")
 
@@ -396,8 +383,6 @@ def main():
                         b["next"] / out["pos_ivc_next_s"], 4
                     )
                 _stage(f"poseidon ivc done; remaining {_remaining():.0f}s")
-            except BudgetExceeded:
-                raise
             except Exception as exc:
                 _stage(f"poseidon ivc failed: {exc!r}")
 
@@ -407,11 +392,7 @@ def main():
             out["native_points_per_sec"] = round(
                 bench_native(BN256_G1, ck1, min(log_n, 16)), 1
             )
-    except BudgetExceeded:
-        _stage("budget exceeded; flushing partial results")
-        out["budget_exceeded"] = True
     finally:
-        signal.alarm(0)
         flush_best()
 
 
