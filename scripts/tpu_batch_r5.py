@@ -266,7 +266,16 @@ def run_stage(spec: str) -> None:
     t0 = time.time()
     log(f"=== stage {spec} start ===")
     try:
-        if spec.startswith("merkle"):
+        if spec.startswith("lab="):
+            # lab=module:fn — import (or reload) a module and call fn();
+            # lets freshly-written experiment code run inside the live claim
+            import importlib
+
+            modname, fnname = spec[4:].split(":")
+            mod = importlib.import_module(modname)
+            mod = importlib.reload(mod)
+            getattr(mod, fnname)()
+        elif spec.startswith("merkle"):
             n = int(spec.split("=")[1]) if "=" in spec else 5
             stage_merkle(n)
         elif spec.startswith("longfold"):

@@ -93,6 +93,9 @@ class NTT:
         import os as _os
 
         self.use_four_step = k >= 10 and _os.environ.get("SIRIUS_TPU_NTT_LADDER") != "1"
+        # Pallas VMEM-resident column kernels for the four-step passes:
+        # "1" = real kernel, "interpret" = interpreter (CPU correctness)
+        self._pallas_mode = _os.environ.get("SIRIUS_TPU_NTT_PALLAS", "")
         if self.use_four_step:
             self.n1 = 1 << ((k + 1) // 2)
             self.n2 = 1 << (k // 2)
@@ -175,6 +178,15 @@ class NTT:
         inner = jnp.asarray(self.w_inner_inv if inverse else self.w_inner)
         outer = jnp.asarray(self.w_outer_inv if inverse else self.w_outer)
         M = al.reshape(L, n1, n2)
+        if self._pallas_mode:
+            from .pallas_ntt import col_ntt_pallas
+
+            interp = self._pallas_mode == "interpret"
+            A = col_ntt_pallas(self.lf, M, self.rev_n1, inner, interpret=interp)
+            B = self.lf.mul(A, mid)
+            D = jnp.swapaxes(B, 1, 2)
+            E = col_ntt_pallas(self.lf, D, self.rev_n2, outer, interpret=interp)
+            return E.reshape(L, self.n)
         A = self._col_ntt(M, n1, self.rev_n1, inner)  # (L, o1, i2)
         B = self.lf.mul(A, mid)
         D = jnp.swapaxes(B, 1, 2)  # (L, i2, o1)
