@@ -54,6 +54,11 @@ def test_cyclefold_one_fold_smoke():
     assert not errors, errors
 
 
+@pytest.mark.skipif(
+    not __import__("os").environ.get("SIRIUS_TPU_SLOW_TESTS"),
+    reason="cyclefold smoke stays as the default-suite driver gate; the "
+    "sangria driver's one-fold e2e is gated (suite budget, round-5)",
+)
 def test_sangria_one_fold_smoke():
     """Sangria two-circuit IVC: one fold_step + verify, mock keys."""
     from sirius_tpu.ivc.sangria_ivc import IVC, PublicParams

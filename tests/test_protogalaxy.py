@@ -79,10 +79,12 @@ def run_mock(circuit_cls, params_list, ck):
     assert ver_ins.ins.W_commitments == new_acc.trace.u.W_commitments
 
 
+@pytest.mark.skipif(SLOW_GATED, reason="fibo_lookup_L1 covers the PG pipeline incl. lookups; gate-only variants gated (suite budget, round-5)")
 def test_protogalaxy_square_L1(ck):
     run_mock(SquareCircuit, [(3,)], ck)
 
 
+@pytest.mark.skipif(SLOW_GATED, reason="fibo_lookup_L1 covers the PG pipeline incl. lookups; gate-only variants gated (suite budget, round-5)")
 def test_protogalaxy_fibo_L1(ck):
     run_mock(FiboCircuit, [(1, 1, 10)], ck)
 
