@@ -29,11 +29,17 @@ class KF:
     """Montgomery field ops over (L, *S) uint32 arrays (CIOS, lazy carries;
     mirrors `fields.jfield.Field` exactly)."""
 
-    def __init__(self, fs):
+    def __init__(self, fs, roll_mul: bool = False):
         self.p = np.asarray(fs.p_limbs, np.uint32)
         self.notp = np.asarray(fs.not_p_limbs, np.uint32)
         self.n0inv = np.uint32(fs.n0inv)
         self.one_mont = np.asarray(fs.one_mont_limbs, np.uint32)
+        # roll_mul: CIOS rounds as a fori_loop instead of 16x unrolled.
+        # ~16x fewer Mosaic instructions per field mul — for kernels whose
+        # COMPILE time dominates (the 1024->1 group merge measured 579 s
+        # to compile unrolled through the remote tunnel); the hot
+        # bucket-accumulation kernel stays unrolled (throughput-bound).
+        self.roll_mul = roll_mul
 
     @staticmethod
     def _c(vec, shape):
@@ -79,8 +85,9 @@ class KF:
         zero1 = jnp.zeros((1,) + S, jnp.uint32)
         t = jnp.zeros((L + 1,) + S, jnp.uint32)
         p = self._c(self.p, a.shape[1:])
-        for i in range(L):
-            prod = a[i][None] * b  # (L, *S) exact uint32
+
+        def round_(t, ai):
+            prod = ai[None] * b  # (L, *S) exact uint32
             t = t + jnp.concatenate([prod & MASK, zero1]) \
                   + jnp.concatenate([zero1, prod >> LB])
             m = ((t[0] & MASK) * self.n0inv) & MASK
@@ -88,7 +95,18 @@ class KF:
             t = t + jnp.concatenate([q & MASK, zero1]) \
                   + jnp.concatenate([zero1, q >> LB])
             carry0 = t[0] >> LB
-            t = jnp.concatenate([(t[1] + carry0)[None], t[2:], zero1])
+            return jnp.concatenate([(t[1] + carry0)[None], t[2:], zero1])
+
+        if self.roll_mul:
+            t = jax.lax.fori_loop(
+                0,
+                L,
+                lambda i, t: round_(t, jax.lax.dynamic_index_in_dim(a, i, keepdims=False)),
+                t,
+            )
+        else:
+            for i in range(L):
+                t = round_(t, a[i])
         r, _ = self._ripple(t)
         return self._cond_sub_p(r[:L])
 

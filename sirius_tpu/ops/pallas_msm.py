@@ -204,12 +204,17 @@ def _merge_kernel(f, x_ref, y_ref, z_ref, ox, oy, oz):
 
 
 @lru_cache(maxsize=None)
-def _merge_call(curve: Curve, WB: int, interpret: bool = False):
+def _merge_call(curve: Curve, WB: int, interpret: bool = False, roll_mul: bool = False):
     """One-kernel group merge: (L, 1024, WB) x3 -> (L, 1, WB) x3, grid over
-    128-lane blocks (25 MB of operand VMEM per cell)."""
+    128-lane blocks (25 MB of operand VMEM per cell).
+
+    roll_mul=True compiles the in-kernel CIOS rounds as a fori_loop —
+    ~16x fewer Mosaic instructions (the unrolled variant measured 579 s
+    to compile through the remote tunnel, the dominant per-process cold
+    cost of the whole IVC)."""
     from .limb_kernels import KF
 
-    f = KF(curve.fb)
+    f = KF(curve.fb, roll_mul=roll_mul)
     in_spec = pl.BlockSpec((L, GROUPS, LANE), lambda i: (0, 0, i), memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((L, 1, LANE), lambda i: (0, 0, i), memory_space=pltpu.VMEM)
     return pl.pallas_call(
