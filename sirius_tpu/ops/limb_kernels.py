@@ -98,12 +98,17 @@ class KF:
             return jnp.concatenate([(t[1] + carry0)[None], t[2:], zero1])
 
         if self.roll_mul:
-            t = jax.lax.fori_loop(
-                0,
-                L,
-                lambda i, t: round_(t, jax.lax.dynamic_index_in_dim(a, i, keepdims=False)),
-                t,
-            )
+            # Mosaic has no dynamic_slice on kernel values: rotate `a` by
+            # one limb per round and always read row 0 (pltpu.roll is
+            # supported; the leading axis is untiled so the roll is cheap)
+            from jax.experimental.pallas import tpu as pltpu
+
+            def rolled(i, carry):
+                t, arot = carry
+                t = round_(t, arot[0])
+                return (t, pltpu.roll(arot, -1, axis=0))
+
+            t, _ = jax.lax.fori_loop(0, L, rolled, (t, a))
         else:
             for i in range(L):
                 t = round_(t, a[i])

@@ -31,8 +31,34 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..fields.constants import NUM_LIMBS
+from ..fields.jfield_lf import MASK, FieldLF
 
 L = NUM_LIMBS
+
+
+class _KernelFieldLF(FieldLF):
+    """FieldLF variant whose carry ops avoid `.at[0].add` (lowered as
+    scatter-add, which Mosaic's TC kernel type does not implement) —
+    the +1 injections use leading-axis concatenation instead.  Bit-exact
+    same semantics; only used inside Pallas kernels."""
+
+    def _cond_sub_p(self, r):
+        import jax.numpy as jnp
+
+        t = r + self._bcast_const(self._notp_col, r.ndim)
+        t = jnp.concatenate([(t[0] + 1)[None], t[1:]], axis=0)
+        d, co = self._ripple(t)
+        return jnp.where(co > 0, d, r)
+
+    def sub(self, a, b):
+        import jax.numpy as jnp
+
+        a, b = self._align(a, b)
+        t = a + (b ^ MASK)
+        t = jnp.concatenate([(t[0] + 1)[None], t[1:]], axis=0)
+        d, co = self._ripple(t)
+        d2, _ = self._ripple(d + self._bcast_const(self._p_col, d.ndim))
+        return jnp.where(co > 0, d, d2)
 
 
 def _ladder_body(lf, a, table, size: int, Rb: int):
@@ -77,8 +103,10 @@ def col_ntt_pallas(lf, a: jnp.ndarray, rev: np.ndarray, table,
 
     def kernel(a_ref, w_ref, p_ref, notp_ref, out_ref):
         # pallas forbids captured array constants: rebind the field's
-        # modulus columns to kernel inputs
+        # modulus columns to kernel inputs; _KernelFieldLF avoids the
+        # scatter-add carry injections Mosaic cannot lower
         lf2 = copy.copy(lf)
+        lf2.__class__ = _KernelFieldLF
         lf2._p_col = p_ref[:].reshape(L)
         lf2._notp_col = notp_ref[:].reshape(L)
         out_ref[:] = _ladder_body(lf2, a_ref[:], w_ref[:], size, r_blk)
