@@ -31,6 +31,7 @@ def main():
     ap.add_argument("--degrees", type=str, default="2,3,4,5,6,7,8,9")
     ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
     ap.add_argument("--real-keys", action="store_true")
+    ap.add_argument("--warm", action="store_true", help="one warmup fold per driver before the timed steps (compile-free per-step numbers)")
     ap.add_argument("--out", type=str, default="scripts/gate_scaling.csv")
     args = ap.parse_args()
 
@@ -64,6 +65,8 @@ def main():
         spp = SangriaPP(sc, TrivialStepCircuit(arity=1), args.k, args.k, ck1, ck2)
         ivc = SangriaIVC(spp, [0x42], [0x17])
         new_s = time.time() - t0
+        if args.warm:
+            ivc.fold_step()
         t0 = time.time()
         for _ in range(args.steps):
             ivc.fold_step()
@@ -77,6 +80,8 @@ def main():
         cpp = CyclefoldPublicParams(sc2, k=args.k, ck_primary=ck1, ck_support=ck2)
         civc = CyclefoldIVC(cpp, [0x42])
         cnew_s = time.time() - t0
+        if args.warm:
+            civc.next()
         t0 = time.time()
         for _ in range(args.steps):
             civc.next()
