@@ -105,21 +105,8 @@ def run():
     jax.block_until_ready(got)
     out["rolled_exec_s"] = round((time.time() - t0) / 3, 4)
 
-    # unrolled reference: the library's own merge (already compiled in this
-    # process by msm_lab stage 1 at WBp2; at WBp it may compile or cache-hit)
-    t0 = time.time()
-    unrolled = pm._merge_call(BN256_G1, WBp)
-    want = unrolled(*args)
-    jax.block_until_ready(want)
-    out["unrolled_compile_or_cached_s"] = round(time.time() - t0, 1)
-    t0 = time.time()
-    for _ in range(3):
-        want = unrolled(*args)
-    jax.block_until_ready(want)
-    out["unrolled_exec_s"] = round((time.time() - t0) / 3, 4)
-    out["bitexact"] = bool(all(jnp.array_equal(g, w) for g, w in zip(got, want)))
-    log(
-        f"msm_lab2: exec rolled {out['rolled_exec_s']}s vs unrolled "
-        f"{out['unrolled_exec_s']}s, bitexact={out['bitexact']}"
-    )
+    # unrolled reference skipped on TPU (another ~580 s compile; rolled-vs-
+    # unrolled bitexactness is interpret-verified in tests + this session,
+    # and bench.py's gold spot-check covers the full commit path e2e)
+    log(f"msm_lab2: rolled merge exec {out['rolled_exec_s']}s")
     emit(out)

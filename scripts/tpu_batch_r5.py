@@ -140,10 +140,12 @@ def stage_merkle(max_batch: int = 5):
         errs = warm.verify()
         assert not errs, errs
         log(f"merkle batch {batch}: cold new {cold_new_s:.1f}s next {cold_next_s:.1f}s; measuring")
-        sc2 = MerkleStepCircuit(bn256_fr, depth=32, batch=batch)
-        pp2 = CyclefoldPublicParams(sc2, k=k, ck_primary=ck1, ck_support=ck2)
+        # steady-state over the SAME pp (same structure => same compiled
+        # programs); rebuilding pp recompiles everything and times compiles,
+        # not folds (bug in the first r5 merkle batch-1 row)
+        sc.tree.reset() if hasattr(sc, "tree") and hasattr(sc.tree, "reset") else None
         t0 = time.time()
-        ivc = CyclefoldIVC(pp2, [sc2.tree.root])
+        ivc = CyclefoldIVC(pp, [sc.tree.root])
         new_s = time.time() - t0
         t0 = time.time()
         ivc.next()

@@ -106,7 +106,8 @@ class KF:
             def rolled(i, carry):
                 t, arot = carry
                 t = round_(t, arot[0])
-                return (t, pltpu.roll(arot, -1, axis=0))
+                # pltpu.roll requires non-negative shift: L-1 forward == 1 backward
+                return (t, pltpu.roll(arot, L - 1, axis=0))
 
             t, _ = jax.lax.fori_loop(0, L, rolled, (t, a))
         else:

@@ -290,7 +290,10 @@ def _finish_jit(curve: Curve, c: int, interpret: bool = False):
                 flat = jnp.pad(flat, ((0, 0), (0, 0), (0, WBp - WB)))
             return flat
 
-        mx, my, mz = _merge_call(curve, WBp, interpret)(
+        import os as _os
+
+        roll = _os.environ.get("SIRIUS_TPU_MSM_ROLL_MERGE", "1") != "0"
+        mx, my, mz = _merge_call(curve, WBp, interpret, roll_mul=roll)(
             to_flat(otx), to_flat(oty), to_flat(otz)
         )
 
