@@ -178,18 +178,18 @@ def _merge_kernel(f, x_ref, y_ref, z_ref, ox, oy, oz):
     the trace cost of one."""
     from .limb_kernels import k_add_complete
 
+    # ONE complete-add instantiation for ALL log2(GROUPS) levels: the
+    # Hillis-Steele suffix pattern at fixed (L, GROUPS, 128) shape with
+    # sublane rolls (upper rows become garbage row 0 never reads).  The
+    # previous 5 unrolled halving levels + 32->1 tail instantiated the
+    # ~3k-op complete add SIX times; Mosaic compile cost scales with
+    # instantiations (measured 579 s for the unrolled form, ~1/6 per
+    # instantiation), while the extra full-width adds cost only ~30 ms of
+    # VPU time per call — a >400 s compile saving per curve per process.
     cur = (x_ref[:], y_ref[:], z_ref[:])  # (L, 1024, 128) each
-    n_grp = GROUPS
-    TAIL = 32
-    while n_grp > TAIL:
-        h = n_grp // 2
-        lo = tuple(a[:, :h] for a in cur)
-        hi = tuple(a[:, h:n_grp] for a in cur)
-        cur = tuple(k_add_complete(f, lo, hi))
-        n_grp = h
 
-    def tail_body(i, carry):
-        shift = jnp.int32(TAIL) >> (i + 1)
+    def level_body(i, carry):
+        shift = jnp.int32(GROUPS) >> (i + 1)
         rolled = tuple(
             pltpu.roll(a, -shift, axis=1) if hasattr(pltpu, "roll")
             else jnp.roll(a, -shift, axis=1)
@@ -197,7 +197,7 @@ def _merge_kernel(f, x_ref, y_ref, z_ref, ox, oy, oz):
         )
         return tuple(k_add_complete(f, carry, rolled))
 
-    cur = jax.lax.fori_loop(0, TAIL.bit_length() - 1, tail_body, cur)
+    cur = jax.lax.fori_loop(0, GROUPS.bit_length() - 1, level_body, cur)
     ox[:] = cur[0][:, :1]
     oy[:] = cur[1][:, :1]
     oz[:] = cur[2][:, :1]
@@ -290,10 +290,7 @@ def _finish_jit(curve: Curve, c: int, interpret: bool = False):
                 flat = jnp.pad(flat, ((0, 0), (0, 0), (0, WBp - WB)))
             return flat
 
-        import os as _os
-
-        roll = _os.environ.get("SIRIUS_TPU_MSM_ROLL_MERGE", "1") != "0"
-        mx, my, mz = _merge_call(curve, WBp, interpret, roll_mul=roll)(
+        mx, my, mz = _merge_call(curve, WBp, interpret)(
             to_flat(otx), to_flat(oty), to_flat(otz)
         )
 
