@@ -657,7 +657,23 @@ def best_msm(curve: Curve, scalars_std: jnp.ndarray, points: Points,
     large inputs: the XLA one-hot bucket kernel.  Small inputs: the
     per-window scan (cheaper compile, adequate at small n)."""
     n = scalars_std.shape[0]
-    if n >= 16384 and assume_distinct and jax.default_backend() == "tpu":
+    # Commit-path policy (round 5): the VMEM bucket-table kernel is the
+    # fastest path but its group-merge program costs ~600 s of remote
+    # Mosaic compile PER CURVE PER PROCESS (and its persistent-cache key
+    # does not survive process restarts — BENCHDATA.md round-5 findings).
+    # Restricting it to the PRIMARY curve (where the 2^20-point commits
+    # live) halves the per-process cold wall; support-curve commits
+    # (grumpkin, <= 2^16-ish) take the fused one-hot bucket path whose
+    # compile is ~4x cheaper, costing only ~0.1 s/commit of throughput.
+    import os as _os
+
+    vmem_curves = _os.environ.get("SIRIUS_TPU_VMEM_CURVES", "bn256_g1").split(",")
+    if (
+        n >= 16384
+        and assume_distinct
+        and jax.default_backend() == "tpu"
+        and curve.spec.name in vmem_curves
+    ):
         from .pallas_msm import msm_vmem
 
         return msm_vmem(curve, scalars_std, points)

@@ -170,7 +170,7 @@ def _table_call(curve: Curve, B: int, W: int, g: int, TS: int, interpret: bool =
     )
 
 
-def _merge_kernel(f, levels_ref, x_ref, y_ref, z_ref, ox, oy, oz):
+def _merge_kernel(f, x_ref, y_ref, z_ref, ox, oy, oz):
     """Full 1024 -> 1 group-merge in VMEM.  Big levels (1024 -> 32) unrolled
     with proper halving (~97% of the adds, shapes must shrink); the 32 -> 1
     tail is ONE traced add in a fixed-shape fori_loop with sublane rolls
@@ -178,54 +178,44 @@ def _merge_kernel(f, levels_ref, x_ref, y_ref, z_ref, ox, oy, oz):
     the trace cost of one."""
     from .limb_kernels import k_add_complete
 
-    # ONE complete-add instantiation for ALL log2(GROUPS) levels: the
-    # Hillis-Steele cyclic-roll reduction at fixed (L, GROUPS, 128) shape
-    # (row 0 ends up with the full group sum; other rows become garbage
-    # nothing reads).  CRITICAL: the loop bound comes from an SMEM SCALAR
-    # (levels_ref), not a Python constant — Mosaic fully unrolls
-    # static-trip-count fori loops, which re-instantiates the ~3k-op
-    # complete add per level (measured: 579 s compile for the old 6-
-    # instantiation kernel, 1387 s for a static-bound 10-level version;
-    # the dynamic bound keeps ONE instantiation).  The extra full-width
-    # adds cost only ~30 ms of VPU time per call.
     cur = (x_ref[:], y_ref[:], z_ref[:])  # (L, 1024, 128) each
-    levels = levels_ref[0]
+    n_grp = GROUPS
+    TAIL = 32
+    while n_grp > TAIL:
+        h = n_grp // 2
+        lo = tuple(a[:, :h] for a in cur)
+        hi = tuple(a[:, h:n_grp] for a in cur)
+        cur = tuple(k_add_complete(f, lo, hi))
+        n_grp = h
 
-    def level_body(i, carry):
-        # roll by -(GROUPS >> (i+1)) expressed as a non-negative shift
-        shift = jnp.int32(GROUPS) - (jnp.int32(GROUPS) >> (i + 1))
+    def tail_body(i, carry):
+        shift = jnp.int32(TAIL) >> (i + 1)
         rolled = tuple(
-            pltpu.roll(a, shift, axis=1) if hasattr(pltpu, "roll")
-            else jnp.roll(a, shift, axis=1)
+            pltpu.roll(a, -shift, axis=1) if hasattr(pltpu, "roll")
+            else jnp.roll(a, -shift, axis=1)
             for a in carry
         )
         return tuple(k_add_complete(f, carry, rolled))
 
-    cur = jax.lax.fori_loop(0, levels, level_body, cur)
+    cur = jax.lax.fori_loop(0, TAIL.bit_length() - 1, tail_body, cur)
     ox[:] = cur[0][:, :1]
     oy[:] = cur[1][:, :1]
     oz[:] = cur[2][:, :1]
 
 
 @lru_cache(maxsize=None)
-def _merge_call(curve: Curve, WB: int, interpret: bool = False, roll_mul: bool = False):
+def _merge_call(curve: Curve, WB: int, interpret: bool = False):
     """One-kernel group merge: (L, 1024, WB) x3 -> (L, 1, WB) x3, grid over
-    128-lane blocks (25 MB of operand VMEM per cell).
-
-    roll_mul=True compiles the in-kernel CIOS rounds as a fori_loop —
-    ~16x fewer Mosaic instructions (the unrolled variant measured 579 s
-    to compile through the remote tunnel, the dominant per-process cold
-    cost of the whole IVC)."""
+    128-lane blocks (25 MB of operand VMEM per cell)."""
     from .limb_kernels import KF
 
-    f = KF(curve.fb, roll_mul=roll_mul)
+    f = KF(curve.fb)
     in_spec = pl.BlockSpec((L, GROUPS, LANE), lambda i: (0, 0, i), memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((L, 1, LANE), lambda i: (0, 0, i), memory_space=pltpu.VMEM)
-    lvl_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
-    call = pl.pallas_call(
+    return pl.pallas_call(
         partial(_merge_kernel, f),
         grid=(WB // LANE,),
-        in_specs=[lvl_spec] + [in_spec] * 3,
+        in_specs=[in_spec] * 3,
         out_specs=[out_spec] * 3,
         out_shape=[jax.ShapeDtypeStruct((L, 1, WB), jnp.uint32)] * 3,
         compiler_params=pltpu.CompilerParams(
@@ -234,8 +224,6 @@ def _merge_call(curve: Curve, WB: int, interpret: bool = False, roll_mul: bool =
         ),
         interpret=interpret,
     )
-    levels = jnp.full((1,), GROUPS.bit_length() - 1, jnp.int32)
-    return lambda x, y, z: call(levels, x, y, z)
 
 
 def _window_count(c: int) -> int:
