@@ -110,3 +110,20 @@ def test_is_sat_catches_corruption(ck):
     ro = create_ro()
     with pytest.raises(satisfy.IsSatError):
         satisfy.is_sat(S, ck, ro, tr1.u, tr1.w)
+
+
+def test_vandermonde_inverse_identity():
+    """V^-1 rows recover polynomial coefficients from evaluations at 0..D
+    (the basis of the interpolated cross-term path)."""
+    from sirius_tpu.nifs.sangria import _vandermonde_inv
+
+    p = bn256_fr.modulus
+    for D in (1, 2, 5, 9):
+        rows = _vandermonde_inv(p, D)
+        import random
+
+        rnd = random.Random(D)
+        coeffs = [rnd.randrange(p) for _ in range(D + 1)]
+        evals = [sum(c * pow(x, k, p) for k, c in enumerate(coeffs)) % p for x in range(D + 1)]
+        got = [sum(rows[k][j] * evals[j] for j in range(D + 1)) % p for k in range(D + 1)]
+        assert got == coeffs
