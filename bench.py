@@ -256,6 +256,26 @@ def main():
                         "baseline": "EPYC 7702 64c, docs/cyclefold_report.md:171-195 (k=20, 2^23-2^24 keys)",
                     }
                 )
+            elif "msm_points_per_sec" in out:
+                out.update(
+                    {
+                        "metric": f"commit_msm_points_per_sec_2^{log_n}",
+                        "value": out["msm_points_per_sec"],
+                        "unit": "points/s",
+                        "vs_baseline": out.get("msm_vs_baseline", 0.0),
+                    }
+                )
+            elif out.get("ntt_elems_per_sec"):
+                out.update(
+                    {
+                        "metric": f"ntt_elems_per_sec_2^{out.get('ntt_log_n', log_n)}",
+                        "value": out["ntt_elems_per_sec"],
+                        "unit": "elems/s",
+                        "vs_baseline": round(
+                            out["ntt_elems_per_sec"] / BASELINE_NTT_ELEMS_PER_SEC, 4
+                        ),
+                    }
+                )
             elif "ivc_warm_next_s" in out:
                 # watchdog fired before the steady-state pass: the cold next
                 # (includes one-time compiles) is still a real IVC wall-clock
@@ -278,26 +298,6 @@ def main():
                         "unit": "s",
                         "vs_baseline": round(base["new"] / out["ivc_warm_new_s"], 4),
                         "baseline": "EPYC 7702 64c, docs/cyclefold_report.md:171 (cold incl. compile)",
-                    }
-                )
-            elif "msm_points_per_sec" in out:
-                out.update(
-                    {
-                        "metric": f"commit_msm_points_per_sec_2^{log_n}",
-                        "value": out["msm_points_per_sec"],
-                        "unit": "points/s",
-                        "vs_baseline": out.get("msm_vs_baseline", 0.0),
-                    }
-                )
-            elif out.get("ntt_elems_per_sec"):
-                out.update(
-                    {
-                        "metric": f"ntt_elems_per_sec_2^{out.get('ntt_log_n', log_n)}",
-                        "value": out["ntt_elems_per_sec"],
-                        "unit": "elems/s",
-                        "vs_baseline": round(
-                            out["ntt_elems_per_sec"] / BASELINE_NTT_ELEMS_PER_SEC, 4
-                        ),
                     }
                 )
             else:
@@ -331,7 +331,19 @@ def main():
         ck2 = CommitmentKey.setup(GRUMPKIN, SUPPORT_K + 3, b"bench-support", use_cache=True)
         out["key_s"] = round(time.time() - _T0, 1)
 
-        # ---- IVC wall-clock FIRST (headline; BASELINE.md rows).  Its
+        # ---- NTT first (independent, cheap cold compile): a watchdog kill
+        # during the IVC cold compiles still leaves a driver-run kernel
+        # metric, which the flush prefers over cold-IVC partials ----
+        if _remaining() > 100:
+            _stage(f"ntt: start 2^{log_n}")
+            try:
+                out["ntt_elems_per_sec"] = round(bench_ntt(log_n), 1)
+                out["ntt_log_n"] = log_n
+                _stage(f"ntt done: {out['ntt_elems_per_sec']:.0f} elems/s")
+            except Exception as exc:
+                _stage(f"ntt failed: {exc!r}")
+
+        # ---- IVC wall-clock (headline; BASELINE.md rows).  Its
         # warmup compiles+warms the one chunked MSM kernel, so the MSM bench
         # below rides the same executable ----
         if scope == "full" and on_tpu and _remaining() > 120:
@@ -351,16 +363,6 @@ def main():
                 }
             )
             _stage(f"msm done: {msm_pts:.0f} pts/s; remaining {_remaining():.0f}s")
-
-        # ---- NTT (limb-first kernel) ----
-        if _remaining() > 100:
-            _stage(f"ntt: start 2^{log_n}")
-            try:
-                out["ntt_elems_per_sec"] = round(bench_ntt(log_n), 1)
-                out["ntt_log_n"] = log_n
-                _stage(f"ntt done: {out['ntt_elems_per_sec']:.0f} elems/s")
-            except Exception as exc:
-                _stage(f"ntt failed: {exc!r}")
 
         # ---- poseidon IVC row (BASELINE poseidon 8.88/6.04/2.00 s), time
         # permitting: shares keys and most compiled programs with trivial ----
